@@ -1,0 +1,59 @@
+"""Local replica of the driver's differential check: run a registered
+PySpark query and its DuckDB oracle on the same sf dir, compare row
+count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from transit_feed_etl_spark.io import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, float_exact: bool = True) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    if sorted(sp.columns) != sorted(oracle_df.columns):
+        problems.append(f"columns differ: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}")
+        return problems
+    if len(sp) != len(oracle_df):
+        problems.append(f"row count differs: spark={len(sp)} oracle={len(oracle_df)}")
+        return problems
+    a, b = _canon(sp), _canon(oracle_df)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                if y is None or (isinstance(y, float) and math.isnan(y)):
+                    continue
+                problems.append(f"col {c} row {i}: spark NULL vs oracle {y!r}")
+                break
+            if isinstance(x, float) and isinstance(y, float):
+                if x == y or (not float_exact and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)):
+                    continue
+                problems.append(f"col {c} row {i}: spark {x!r} != oracle {y!r}")
+                break
+            if x != y:
+                problems.append(f"col {c} row {i}: spark {x!r} != oracle {y!r} ({type(x)} vs {type(y)})")
+                break
+    return problems

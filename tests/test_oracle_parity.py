@@ -1,0 +1,30 @@
+"""Differential test: every registered query with an oracle must match
+DuckDB exactly (row count + columns + values) — the local replica of the
+driver's CORRECTNESS gate, run at the small sf for speed."""
+
+from __future__ import annotations
+
+import pytest
+
+from transit_feed_etl_spark.queries import QUERIES
+from tests.oracle_utils import compare, run_oracle
+
+ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    q = QUERIES[name]
+    spark_df = q.builder(spark, sf_dir)
+    oracle_df = run_oracle(q.oracle, sf_dir)
+    problems = compare(spark_df, oracle_df)
+    assert not problems, f"{name}: " + "; ".join(problems[:5])
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.builder(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

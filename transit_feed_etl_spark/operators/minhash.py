@@ -1,0 +1,176 @@
+"""MinHash-LSH and SimHash near-duplicate operators (EXT, north star).
+
+Pure-Catalyst implementations (xxhash64 + higher-order array functions —
+no Python in the hot path). The LSH construction is the standard banding
+scheme: s-curve probability 1-(1-j^r)^b of a pair at Jaccard j becoming a
+candidate, with r rows/band and b bands.
+
+Scale analysis (100 TB): the exact all-pairs Jaccard join explodes every
+shingle (shuffle volume = total shingles, pair volume worst-case
+quadratic in docs-per-shingle). LSH bounds the shuffle at
+docs x bands rows of (band_key, doc_id) and only candidate pairs pay the
+verification join; the signature computation itself is a single
+groupBy(doc) over exploded shingles with 64 min() partial aggregates —
+map-side combinable, linear, skew-free (band keys are hashes).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.operators import textfns as TX
+
+
+def minhash_signature(
+    docs: DataFrame, id_col: str, text_col: str, n_hashes: int = 64
+) -> DataFrame:
+    """(id, shingle-set, signature array) — one row per doc.
+
+    Signature k = MIN over shingles of xxhash64(k, shingle). Computed as
+    n_hashes partial-aggregatable min() columns over the exploded shingle
+    relation: one shuffle keyed on doc id.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(TX.word_shingles(TX.tokens(text_col), 3)).alias("_sh"),
+    )
+    exploded = sh.filter(F.size("_sh") > 0).select(
+        "_id", F.explode("_sh").alias("_s")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(k), F.col("_s"))).alias(f"_h{k}")
+        for k in range(n_hashes)
+    ]
+    sig = exploded.groupBy("_id").agg(*mins).select(
+        "_id", F.array(*[f"_h{k}" for k in range(n_hashes)]).alias("_sig")
+    )
+    return sh.join(sig, "_id", "left").select(
+        "_id", "_sh", F.coalesce("_sig", F.array().cast("array<bigint>")).alias("_sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.35,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate generation via banded LSH + exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    if n_hashes % bands != 0:
+        raise ValueError("bands must divide n_hashes")
+    rows_per_band = n_hashes // bands
+
+    sigs = minhash_signature(docs, id_col, text_col, n_hashes)
+
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    e = (
+        sigs.filter(F.size("_sig") > 0)
+        .select("_id", band_keys.alias("_bk"))
+        .select("_id", F.posexplode("_bk").alias("_band", "_bkey"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bkey") == F.col("b._bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigs.select("_id", "_sh")
+    pa, pb = sh.alias("pa"), sh.alias("pb")
+    n_inter = F.size(F.array_intersect(F.col("pa._sh"), F.col("pb._sh")))
+    n_union = F.size(F.col("pa._sh")) + F.size(F.col("pb._sh")) - n_inter
+    jac = n_inter.cast("double") / n_union
+    return (
+        candidates.join(pa, F.col("id_a") == F.col("pa._id"))
+        .join(pb, F.col("id_b") == F.col("pb._id"))
+        .filter(n_union > 0)
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document from distinct tokens.
+
+    Bit j of the fingerprint is the sign of sum over tokens of
+    (+1 if bit j of xxhash64(token) else -1). Implemented as 64
+    conditional-sum aggregates over the exploded token relation —
+    partial-aggregatable, one shuffle on doc id.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(TX.tokens(text_col)).alias("_t"),
+    )
+    e = toks.select("doc_id", F.explode("_t").alias("_tok")).withColumn(
+        "_h", F.xxhash64("_tok")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(64)
+    ]
+    agg = e.groupBy("doc_id").agg(*votes)
+    bits: list[Column] = [
+        F.when(F.col(f"_v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(64)
+    ]
+    fingerprint = reduce(lambda x, y: x.bitwiseOR(y), bits)
+    sig = agg.select("doc_id", fingerprint.alias("simhash"))
+    return toks.select("doc_id", F.size("_t").alias("n_tokens")).join(
+        sig, "doc_id", "left"
+    ).select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"), "n_tokens")
+
+
+def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole banding on 4 x 16-bit chunks
+    (any pair within Hamming distance 3 shares at least one exact chunk),
+    then exact popcount(xor) verification on candidates only."""
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"_c{c}")
+            for c in range(4)
+        ]
+    )
+    e = fingerprints.select(
+        F.col("doc_id"), F.col("simhash"), F.posexplode(chunks).alias("_chunk", "_cval")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._cval") == F.col("b._cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,48 @@
+"""Vector/embedding column builders (EXT similarity-search operators).
+
+All dense-vector math is expressed with Spark higher-order array
+functions (zip_with / transform / aggregate) — JVM-side, codegen'd,
+no Python UDFs. Arrays are cast to array<double> first so arithmetic
+matches the DuckDB oracle's DOUBLE[] computation op-for-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (mirrors DuckDB
+    list_sum(list_transform(...)) accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(dot(v, plane_i)).
+    `planes` is a deterministic driver-side constant (seeded numpy),
+    folded into the plan as literals — broadcast for free."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket

@@ -1,0 +1,19 @@
+"""Import every query module so @register side effects populate the
+registry. `from transit_feed_etl_spark.queries import QUERIES` is the
+one-stop entry point for the driver contract."""
+
+from transit_feed_etl_spark.registry import QUERIES  # noqa: F401
+
+from transit_feed_etl_spark.queries import (  # noqa: F401,E402
+    aggregates,
+    asof_queries,
+    dedup,
+    joins,
+    relational,
+    scalar_funcs,
+    setops,
+    similarity,
+    textops,
+    time_windows,
+    windows,
+)

@@ -1,0 +1,224 @@
+"""Aggregate surface beyond the reference's global min/max/sum/count:
+distinct, count-distinct, rollup/cube/grouping-sets, exact percentiles,
+conditional aggregation / pivot (SURVEY.md §2 Part B aggregation rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.registry import register
+
+
+@register(
+    "distinct_values",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — hash aggregate with map-side partial dedup (the shuffle
+    carries only distinct pairs, not 600k rows)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps,
+      COUNT(DISTINCT l_orderkey) AS n_orders,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT (Catalyst expands to
+    partial-dedup + final count). The approximate twin is
+    `approx_distinct_users` (rows-only check — HLL sketches are
+    engine-specific)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("approx_distinct_users", oracle=None)  # HLL sketch: engine-specific -> rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct-user counts: constant memory, one pass, mergeable sketches.
+    No oracle: HLL estimates are engine-specific by construction."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("event_type")
+
+
+@register(
+    "rollup_order_stats",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS total,
+      GROUPING(o_orderstatus) AS g_status,
+      GROUPING(o_orderpriority) AS g_prio
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (status -> status+priority -> grand total) with
+    GROUPING() markers to distinguish real NULLs from subtotal rows."""
+    od = table(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,3)")).cast("double").alias("total"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+        )
+        .orderBy(
+            "g_status",
+            "g_prio",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "cube_lineitem_stats",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS qty,
+      GROUPING(l_returnflag) AS g_rf,
+      GROUPING(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^2 grouping combinations in one shuffle (Catalyst
+    expands the grouping sets; far cheaper than 4 separate scans)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,3)")).cast("double").alias("qty"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+        .orderBy(
+            "g_rf",
+            "g_ls",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "exact_percentiles",
+    oracle="""
+    SELECT
+      event_type,
+      ROUND(QUANTILE_CONT(value, 0.5), 6) AS p50,
+      ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95,
+      MIN(value) AS vmin,
+      MAX(value) AS vmax,
+      COUNT(value) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation; rounded to 6dp to
+    absorb last-ulp interpolation differences). At 100 TB swap to
+    percentile_approx (t-digest-style sketch) — see
+    `approx_percentiles_stream` (rows-only)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.95), 6).alias("p95"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "conditional_pivot",
+    oracle="""
+    SELECT
+      user_bucket,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                    FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+        AS purchase_value
+    FROM (SELECT *, user_id % 10 AS user_bucket FROM events)
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
+)
+def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation (count-if / sum-if).
+    Unlike .pivot(), the output schema is static — required for
+    predictable plans in production pipelines."""
+    ev = table(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 10)
+
+    def nif(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return (
+        ev.groupBy("user_bucket")
+        .agg(
+            nif("click"),
+            nif("view"),
+            nif("purchase"),
+            nif("signup"),
+            nif("error"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("user_bucket")
+    )

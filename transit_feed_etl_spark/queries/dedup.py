@@ -1,0 +1,158 @@
+"""Deduplication operators over `documents` (EXT, BASELINE.json north
+star): exact hash-dedup, normalized dedup, n-gram Jaccard near-dup join,
+MinHash-LSH and SimHash candidate generation.
+
+Scale design (the 100 TB story):
+- exact dedup = groupBy(md5(text)) — one shuffle on a 16-byte key, never
+  on the text payload itself.
+- n-gram Jaccard join = shingle -> explode -> self-join on shingle ->
+  per-pair intersection counts. Quadratic in the worst case; bounded here
+  by distinct-shingle fan-out. This is the *oracle-checkable* baseline.
+- MinHash-LSH (operators/minhash.py) is the scale path: candidate pairs
+  come from banded signature buckets (linear shuffle volume), then only
+  candidates pay the exact-Jaccard verification. LSH bucket membership is
+  engine-specific (xxhash64) -> rows-only driver check, plus a pytest
+  recall check against the exact join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.operators import minhash as MH
+from transit_feed_etl_spark.operators import textfns as TX
+from transit_feed_etl_spark.registry import register
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+_SHINGLES_SQL = f"""
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(LEN(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MD5(text) AS text_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    ORDER BY canonical_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: group on content hash, keep min doc_id as
+    canonical. The shuffle key is md5 (16 bytes), not the document text —
+    at 100 TB the shuffle carries ~nothing."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("canonical_id")
+    )
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS norm_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY canonical_id
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: case-fold + whitespace-collapse before
+    hashing — catches trivially-reformatted copies."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(TX.doc_fingerprint("text").alias("norm_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("canonical_id")
+    )
+
+
+@register(
+    "neardup_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    e AS (
+      SELECT doc_id, UNNEST(sh) AS s FROM sh WHERE LEN(sh) > 0
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh)
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup join: distinct word-3-gram shingle
+    sets, pair intersection via shingle self-join, Jaccard >= 0.35.
+    This is the exact baseline that the MinHash-LSH operator approximates."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(TX.word_shingles(TX.tokens("text"), 3)).alias("sh"),
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    e = sh.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("s"))
+    a = e.alias("a")
+    b = e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.35)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("minhash_lsh_candidates", oracle=None)  # xxhash64 buckets: engine-specific
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline (the 100 TB path): 64-perm MinHash
+    signatures -> 16 bands x 4 rows -> band-bucket join for candidates ->
+    exact Jaccard verification >= 0.35 on candidates only.
+    Driver check is rows-only (bucket hashes are engine-specific);
+    tests/test_dedup.py checks recall == 1.0 vs `neardup_jaccard_pairs`
+    at this threshold on the testdata."""
+    d = table(spark, sf_dir, "documents")
+    return MH.minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", threshold=0.35, n_hashes=64, bands=16
+    ).orderBy("id_a", "id_b")
+
+
+@register("simhash_fingerprints", oracle=None)  # xxhash64-based: engine-specific
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token-level): sign-aggregated bit
+    votes over xxhash64(token). Near-dups land within small Hamming
+    distance; pairs are found by pigeonhole banding (operators/minhash.py).
+    Rows-only driver check; determinism asserted in tests."""
+    d = table(spark, sf_dir, "documents")
+    return MH.simhash(d, id_col="doc_id", text_col="text").orderBy("doc_id")

@@ -1,0 +1,222 @@
+"""Join surface (SURVEY.md §2 Part B join rows; A20 anti-join shape).
+
+The reference's only join-like operation is the catalog-vs-filesystem
+existence check (A20, reference gtfs_rt_assets.py:225-226) — a manual
+anti-join. Here: the full equi / outer / semi / anti / theta surface on
+the TPC-H-ish testdata.
+
+Scale posture: dimension tables (region 5, nation 25, supplier, part)
+are explicitly broadcast — at 100 TB the fact-side (lineitem/orders)
+never shuffles for a dim join. Fact-fact joins (orders ⨝ lineitem)
+shuffle on the join key; AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.registry import register
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,3))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi join (fact-fact shuffle on orderkey; dims broadcast)
+    + grouped decimal-exact revenue. TPC-H Q5 shape."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,3)")
+    disc = F.col("l_discount").cast("decimal(18,3)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "left_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,3))), 0) AS DOUBLE) AS spend
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero urgent orders;
+    COUNT(col) ignores the NULLs the outer join introduces."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,3)")), F.lit(0))
+            .cast("double")
+            .alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_totalprice > 50000
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with >=1 big urgent order.
+    Semi join never duplicates the left side — no post-dedup needed."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 50000)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the A20 catalog-vs-filesystem
+    consistency check shape (reference gtfs_rt_assets.py:225-226):
+    rows on the left with no witness on the right."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "theta_join_acctbal",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(s.s_acctbal - c.c_acctbal AS DECIMAL(18,3))) AS DOUBLE) AS bal_gap
+    FROM supplier s
+    JOIN customer c ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def theta_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + theta join (non-equi residual predicate): suppliers paired
+    with same-nation customers of strictly lower balance. The equi part
+    keys the shuffle; the inequality is a residual filter — never a
+    cartesian product."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    gap = (F.col("s_acctbal") - F.col("c_acctbal")).cast("decimal(18,3)")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum(gap).cast("double").alias("bal_gap"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "full_outer_join_daily",
+    oracle="""
+    WITH o AS (
+      SELECT DATE_TRUNC('day', o_orderdate) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT DATE_TRUNC('day', l_shipdate) AS d, COUNT(*) AS n_ships
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.d, l.d) AS d,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(l.n_ships, 0) AS n_ships
+    FROM o FULL OUTER JOIN l ON o.d = l.d
+    ORDER BY d
+    """,
+)
+def full_outer_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated daily series (order days vs
+    ship days), NULL-filled with 0. Pre-aggregating before the join keeps
+    the shuffled volume at #distinct-days, not #rows — the 100 TB habit."""
+    # date_trunc keeps TimestampType on both sides (DuckDB DATE and Spark
+    # DateType stringify differently through pandas — avoid DATE at the
+    # comparison boundary).
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_ships"))
+    )
+    return (
+        o.join(l, o.d == l.d, "full_outer")
+        .select(
+            F.coalesce(o.d, l.d).alias("d"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("n_ships"), F.lit(0)).alias("n_ships"),
+        )
+        .orderBy("d")
+    )

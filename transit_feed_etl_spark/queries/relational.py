@@ -1,0 +1,346 @@
+"""Relational core — the reference's genuinely relational surface
+(SURVEY.md §2 Part A: A4-A7, A14-A19) re-expressed on the driver testdata.
+
+Reference citations (into /root/reference):
+  A4  existence filter            gtfs_rt_assets.py:33
+  A5  null-guarded projection     gtfs_rt_assets.py:38-46
+  A6  constant enrichment         gtfs_rt_assets.py:36-37,79
+  A7  union of per-feed batches   gtfs_rt_assets.py:83-89
+  A14 bbox aggregation            gtfs_rt_assets.py:161-170
+  A15 row count                   gtfs_rt_assets.py:182,194
+  A17 grand-total + coalesce 0    gtfs_rt_assets.py:188-190
+  A18 1-hour-lookback aggregate   gtfs_rt_assets.py:210-214
+  A19 top-1 by timestamp desc     gtfs_rt_assets.py:217-222
+
+``events`` is the vehicle-positions stand-in (FIXTURES.md F5); ``lineitem``
+exercises the same aggregate shapes at 60k-600k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.registry import dsum, register
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (filter + grouped multi-agg +
+# sort). Exercises A15/A17 aggregate shapes at the largest table.
+# Scale note: single shuffle on (l_returnflag, l_linestatus) — 6 groups —
+# with map-side partial aggregation; the scan reads only 7 of 11 columns
+# (column pruning) and pushes the l_shipdate filter into parquet.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))
+               * (1 - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))
+               * (1 - CAST(l_discount AS DECIMAL(18,3)))
+               * (1 + CAST(l_tax AS DECIMAL(18,3)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pricing summary over lineitem (TPC-H Q1 shape)."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,3)")
+    price = F.col("l_extendedprice").cast("decimal(18,3)")
+    disc = F.col("l_discount").cast("decimal(18,3)")
+    tax = F.col("l_tax").cast("decimal(18,3)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — existence filter (reference keeps only entities with a `vehicle`
+# field; here: events that carry a props payload and a positive value).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "existence_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE props IS NOT NULL AND value IS NOT NULL AND value > 5.0
+    """,
+)
+def existence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter (A4, gtfs_rt_assets.py:33): keep rows whose
+    optional payload is present. Pushed down to the parquet scan."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("props").isNotNull() & F.col("value").isNotNull() & (F.col("value") > 5.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# A5 — null-guarded projection (emit value or NULL when guard fails).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "null_guarded_projection",
+    oracle="""
+    SELECT
+      event_id,
+      CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS purchase_value,
+      CASE WHEN value IS NOT NULL AND value >= 0 THEN value ELSE NULL END AS safe_value,
+      COALESCE(user_id, -1) AS user_id_filled
+    FROM events
+    """,
+)
+def null_guarded_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-guarded projection (A5, gtfs_rt_assets.py:38-46): per-field
+    `x if present else NULL` via when/otherwise — vectorized, codegen'd."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(None))
+        .alias("purchase_value"),
+        F.when(F.col("value").isNotNull() & (F.col("value") >= 0), F.col("value"))
+        .otherwise(F.lit(None))
+        .alias("safe_value"),
+        F.coalesce(F.col("user_id"), F.lit(-1)).alias("user_id_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 + A7 — constant enrichment and union of per-feed batches.
+# Two disjoint slices are stamped with a batch label and unioned, like the
+# reference's per-feed record lists extended into one batch.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "union_enriched_batches",
+    oracle="""
+    SELECT batch_label, event_type, COUNT(*) AS n
+    FROM (
+      SELECT 'batch_clicks' AS batch_label, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+      UNION ALL
+      SELECT 'batch_commerce' AS batch_label, event_type FROM events
+      WHERE event_type IN ('purchase', 'signup')
+    )
+    GROUP BY batch_label, event_type
+    ORDER BY batch_label, event_type
+    """,
+)
+def union_enriched_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant enrichment (A6, gtfs_rt_assets.py:36-37) + union of
+    per-feed batches (A7, gtfs_rt_assets.py:83-89) via unionByName."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.lit("batch_clicks").alias("batch_label"), "event_type"
+    )
+    commerce = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        F.lit("batch_commerce").alias("batch_label"), "event_type"
+    )
+    return (
+        clicks.unionByName(commerce)
+        .groupBy("batch_label", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("batch_label", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 + A15 — bbox-style grouped min/max aggregate + row count.
+# The reference computes gdf.total_bounds per batch; here per event_type.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bbox_aggregate",
+    oracle="""
+    SELECT
+      event_type,
+      MIN(value) AS bbox_min,
+      MAX(value) AS bbox_max,
+      MIN(ts) AS first_ts,
+      MAX(ts) AS last_ts,
+      COUNT(*) AS record_count
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bbox_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box aggregation (A14, gtfs_rt_assets.py:161-170) + row
+    count (A15): grouped MIN/MAX — partial-agg map-side, 5 groups."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("bbox_min"),
+            F.max("value").alias("bbox_max"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# A17 — grand total with NULL -> 0 coalesce (reference: `or 0` on a SUM
+# that returns NULL for an empty selection).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "grand_total_coalesce",
+    oracle="""
+    SELECT
+      CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_value,
+      COUNT(*) AS total_rows
+    FROM events
+    WHERE event_type = 'does_not_exist'
+    """,
+)
+def grand_total_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total aggregate with NULL->0 fallback (A17,
+    gtfs_rt_assets.py:188-190): empty selection sums to 0, not NULL."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "does_not_exist").agg(
+        F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+        .cast("double")
+        .alias("total_value"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+@register(
+    "grand_total",
+    oracle="""
+    SELECT
+      CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_value,
+      COUNT(*) AS total_rows
+    FROM events
+    """,
+)
+def grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total aggregate over the full table (A17 happy path)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+        .cast("double")
+        .alias("total_value"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A18 — sliding 1-hour-lookback aggregate. The reference compares against
+# datetime('now','-1 hour'); for determinism we anchor on MAX(ts), which is
+# also the honest streaming semantics (event-time, not wall-clock).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "time_range_aggregate",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_recent,
+      CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_recent
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+)
+def time_range_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour freshness aggregate (A18, gtfs_rt_assets.py:210-214)
+    with real TimestampType interval arithmetic (fixes the reference's
+    string-compare quirk). The MAX(ts) scalar is broadcast-joined —
+    no second full-shuffle."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 HOUR"))
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+            .cast("double")
+            .alias("sum_recent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A19 — top-1 by timestamp (latest record), with a total tie-break order.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top1_latest",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1
+    """,
+)
+def top1_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record (A19, gtfs_rt_assets.py:217-222): ORDER BY ts DESC
+    LIMIT 1 -> Spark compiles to TakeOrderedAndProject (no full sort)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", "ts", "user_id", "event_type", "value").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).limit(1)
+
+
+# --------------------------------------------------------------------------
+# General top-k (SURVEY §2 Part B "sorts / top-k").
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value: TakeOrderedAndProject keeps only k rows per
+    partition then merges — no global sort even at 100 TB."""
+    od = table(spark, sf_dir, "orders")
+    return (
+        od.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )

@@ -1,0 +1,237 @@
+"""Scalar-function surface (SURVEY.md §2 Part B scalar rows; reference
+shapes A26 string-format, A27 timestamp-format, A28 stem-extract).
+
+Cross-engine notes (Spark <-> DuckDB):
+  format_string <-> printf            (both C-style)
+  date_format   <-> strftime          (pattern dialects differ; output equal)
+  regexp_extract<-> regexp_extract    (Java regex vs RE2 — stick to the
+                                       common subset: \\d \\w [^/] anchors)
+  get_json_object <-> json_extract_string
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.registry import register
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT
+      doc_id,
+      UPPER(lang) AS lang_uc,
+      LOWER(source) AS source_lc,
+      SUBSTR(text, 1, 20) AS head,
+      LENGTH(text) AS n_chars_computed,
+      CONCAT(lang, ':', source) AS lang_source,
+      REGEXP_EXTRACT(source, '([0-9]+)', 1) AS source_num,
+      REPLACE(source, 'src', 'source_') AS source_renamed,
+      TRIM('  ' || lang || '  ') AS lang_trimmed,
+      LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id_padded,
+      SPLIT_PART(source, 'c', 2) AS after_c,
+      CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS mentions_spark
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (A26 formatting / A28 extraction shapes,
+    reference read_gtfs_rt.py:13-22): case, substring, length, concat,
+    regex extract, replace, trim, pad, split, LIKE."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.lower("source").alias("source_lc"),
+        F.substring("text", 1, 20).alias("head"),
+        F.length("text").alias("n_chars_computed"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+        F.regexp_extract("source", r"([0-9]+)", 1).alias("source_num"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("source_")).alias("source_renamed"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trimmed"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_id_padded"),
+        F.split_part(F.col("source"), F.lit("c"), F.lit(2)).alias("after_c"),
+        F.when(F.col("text").like("%spark%"), 1).otherwise(0).alias("mentions_spark"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "format_popup_strings",
+    oracle="""
+    SELECT
+      event_id,
+      -- NB: %.1f is NOT portable (Java HALF_UP vs C binary rounding);
+      -- pre-round and render via %s instead.
+      PRINTF('Event %s | user %d | value %s', event_type, user_id,
+             CAST(ROUND(value, 1) AS VARCHAR)) AS popup,
+      PRINTF('%05d', event_id) AS padded_id
+    FROM events
+    WHERE value IS NOT NULL AND user_id < 25
+    ORDER BY event_id
+    """,
+)
+def format_popup_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style string formatting (A26, reference read_gtfs_rt.py:16-18
+    builds 'Bus {id}<br>Route {route}<br>Speed {speed:.1f}' popups) —
+    format_string is JVM-side, no Python round-trip."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("user_id") < 25)
+    )
+    return ev.select(
+        "event_id",
+        F.format_string(
+            "Event %s | user %d | value %s",
+            F.col("event_type"),
+            F.col("user_id"),
+            F.round("value", 1).cast("string"),
+        ).alias("popup"),
+        F.format_string("%05d", "event_id").alias("padded_id"),
+    ).orderBy("event_id")
+
+
+@register(
+    "timestamp_formatting",
+    oracle="""
+    SELECT
+      event_id,
+      STRFTIME(ts, '%Y%m%d_%H%M%S') AS ts_compact,
+      STRFTIME(ts, '%Y/%m/%d/%H') AS partition_path,
+      STRFTIME(ts, '%M%S') AS file_stem,
+      CAST(YEAR(ts) AS INT) AS y,
+      CAST(MONTH(ts) AS INT) AS m,
+      CAST(DAY(ts) AS INT) AS d,
+      CAST(HOUR(ts) AS INT) AS h,
+      DATE_TRUNC('hour', ts) AS ts_hour,
+      CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS unix_sec
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def timestamp_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp formatting (A27, reference gtfs_rt_assets.py:79,136-138:
+    '%Y%m%d_%H%M%S' record stamps, '%Y/%m/%d/%H' partition paths, '%M%S'
+    file stems) + calendar extraction + truncation + epoch."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd_HHmmss").alias("ts_compact"),
+        F.date_format("ts", "yyyy/MM/dd/HH").alias("partition_path"),
+        F.date_format("ts", "mmss").alias("file_stem"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+    ).orderBy("event_id")
+
+
+@register(
+    "interval_arithmetic",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderdate,
+      o_orderdate + INTERVAL 30 DAY AS due_date,
+      o_orderdate - INTERVAL 1 HOUR AS hour_before,
+      CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+        AS days_since_epoch_start,
+      CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic (A18's '-1 hour' lookback shape,
+    reference gtfs_rt_assets.py:213) on real TimestampType."""
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return od.select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 HOUR")).alias("hour_before"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("days_since_epoch_start"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT
+      event_id,
+      ROUND(value, 1) AS v_round1,
+      CAST(FLOOR(value) AS BIGINT) AS v_floor,
+      CAST(CEIL(value) AS BIGINT) AS v_ceil,
+      ABS(value - 10.0) AS v_absdiff,
+      ROUND(SQRT(ABS(value)), 6) AS v_sqrt,
+      ROUND(LN(value + 1.0), 6) AS v_log1p,
+      ROUND(POWER(value, 2.0), 6) AS v_sq,
+      CAST(TRUNC(value) AS INT) AS v_int,  -- DuckDB int-cast rounds; Spark truncates
+      SIGN(value - 10.0) AS v_sign,
+      GREATEST(value, 5.0) AS v_hi,
+      LEAST(value, 5.0) AS v_lo,
+      MOD(user_id, 7) AS user_mod
+    FROM events
+    WHERE value IS NOT NULL AND event_id < 1000
+    ORDER BY event_id
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (A26 ':.1f' rounding shape and beyond):
+    round/floor/ceil/abs/sqrt/ln/power/sign/greatest/least/mod."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_id") < 1000)
+    )
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(v, 1).alias("v_round1"),
+        F.floor(v).alias("v_floor"),
+        F.ceil(v).alias("v_ceil"),
+        F.abs(v - 10.0).alias("v_absdiff"),
+        F.round(F.sqrt(F.abs(v)), 6).alias("v_sqrt"),
+        F.round(F.log(v + 1.0), 6).alias("v_log1p"),
+        F.round(F.pow(v, 2.0), 6).alias("v_sq"),
+        v.cast("int").alias("v_int"),
+        F.signum(v - 10.0).alias("v_sign"),
+        F.greatest(v, F.lit(5.0)).alias("v_hi"),
+        F.least(v, F.lit(5.0)).alias("v_lo"),
+        (F.col("user_id") % 7).alias("user_mod"),
+    ).orderBy("event_id")
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+      CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+           THEN 1 ELSE 0 END AS has_k
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload column (Part B
+    array/map/json row): get_json_object is codegen'd JVM-side."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        F.when(k.isNotNull(), 1).otherwise(0).alias("has_k"),
+    ).orderBy("event_id")

@@ -1,0 +1,142 @@
+"""Similarity search over `embeddings` (EXT, north star): brute-force
+cosine top-k (exact, oracle-checked) and hyperplane-LSH ANN (the scale
+path, rows-only + recall-tested).
+
+Determinism: cosine scores are double arithmetic with engine-identical
+operation order where possible, then ROUNDED to 4dp; ranking orders by
+(rounded score DESC, neighbor id ASC) so ranks are stable across engines.
+
+Scale design: brute-force is O(Q x N x d) — correct but quadratic; it is
+the verification baseline. The LSH variant buckets vectors by
+sign-projection onto 8 fixed hyperplanes (256 buckets) and searches only
+the query's bucket: candidate volume drops ~256x at the cost of recall,
+measured in tests/test_similarity.py. At 100 TB the bucket id becomes the
+shuffle/partition key, so each query touches one partition (IVF-style).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.operators import vectors as V
+from transit_feed_etl_spark.registry import register
+
+_DOT_SQL = "list_sum(list_transform(range(1, LEN({a}) + 1), i -> {a}[i] * {b}[i]))"
+_NORM_SQL = "SQRT(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    rng = np.random.default_rng(2024)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
+                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
+                   4) AS score
+      FROM q JOIN v c ON c.vec_id <> q.qid
+    )
+    SELECT qid, nid, score, rnk FROM (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors: broadcast
+    the query side, score all candidates with JVM-side array math, rank
+    per query. The exact baseline for the ANN variant."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double("embedding").alias("v"))
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = v.alias("c").join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    )
+    score = F.round(V.cosine(F.col("qv"), F.col("v")), 4)
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        pairs.select(
+            "qid", F.col("vec_id").alias("nid"), score.alias("score")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT_SQL.format(a="a.v", b="b.v")}
+                 / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}),
+                 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND({_DOT_SQL.format(a="a.v", b="b.v")}
+                / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}),
+                4) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: all pairs with cosine >= 0.8.
+    Exact quadratic baseline (the LSH bucket join is the scale path)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double("embedding").alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = F.round(V.cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("ann_lsh_topk", oracle=None)  # LSH buckets: approximate by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: 8-hyperplane sign-LSH -> 256 buckets; each query
+    scores only its own bucket. Rows-only driver check; recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    planes = _lsh_planes()
+    v = emb.select(
+        "vec_id",
+        V.as_double("embedding").alias("v"),
+    ).withColumn("bucket", V.hyperplane_bucket(F.col("v"), planes))
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    pairs = v.alias("c").join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid")),
+    )
+    score = F.round(V.cosine(F.col("qv"), F.col("v")), 4)
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )

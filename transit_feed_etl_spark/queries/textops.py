@@ -1,0 +1,204 @@
+"""Text-analysis queries over `documents` (EXT operators from
+BASELINE.json's north star: language-ID, quality scoring, token counting,
+document fingerprinting). All pure Catalyst expressions (higher-order
+array functions) — no Python UDFs — so they scale to 100 TB of text as
+embarrassingly-parallel map work with zero shuffle.
+
+Oracle mirrors use DuckDB list functions; fingerprints use md5 on both
+sides (identical hex output) so value hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.operators import textfns as TX
+from transit_feed_etl_spark.registry import register
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    )
+    SELECT
+      doc_id,
+      LENGTH(text) AS n_chars,
+      CAST(LEN(toks) AS INT) AS n_tokens,
+      CAST(LEN(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe_tokens,
+      ROUND(CASE WHEN LEN(toks) > 0
+            THEN CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE) / LEN(toks)
+            ELSE 0 END, 6) AS avg_token_len,
+      ROUND(CASE WHEN LENGTH(text) > 0
+            THEN CAST(LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text) ELSE 0 END, 6) AS punct_ratio,
+      ROUND(CASE WHEN LEN(toks) > 0
+            THEN CAST(LEN(list_filter(toks,
+                   t -> list_contains(['the','a','and','of','to','in','is'], t)))
+                 AS DOUBLE) / LEN(toks) ELSE 0 END, 6) AS stopword_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals: whitespace tokens, BPE-ish regex
+    tokens, avg token length, punctuation ratio, stopword ratio."""
+    d = table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    d = d.withColumn("toks", toks)
+    nt = F.size("toks")
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        nt.alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(
+            F.when(nt > 0, nonspace.cast("double") / nt).otherwise(F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(F.col("toks")), 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def _votes_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang])
+    return f"LEN(list_filter(toks, t -> list_contains([{markers}], t)))"
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+    ),
+    v AS (
+      SELECT doc_id, lang,
+             {_votes_sql("en")} AS v_en,
+             {_votes_sql("de")} AS v_de,
+             {_votes_sql("fr")} AS v_fr,
+             {_votes_sql("es")} AS v_es
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+      CASE WHEN GREATEST(v_en, v_de, v_fr, v_es) = 0 THEN 'unknown'
+           WHEN v_en = GREATEST(v_en, v_de, v_fr, v_es) THEN 'en'
+           WHEN v_de = GREATEST(v_en, v_de, v_fr, v_es) THEN 'de'
+           WHEN v_fr = GREATEST(v_en, v_de, v_fr, v_es) THEN 'fr'
+           ELSE 'es' END AS pred_lang,
+      CAST(v_en AS INT) AS v_en, CAST(v_de AS INT) AS v_de,
+      CAST(v_fr AS INT) AS v_fr, CAST(v_es AS INT) AS v_es
+    FROM v
+    ORDER BY doc_id
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-marker votes per language, argmax
+    with priority tie-break (en > de > fr > es), 'unknown' on zero votes."""
+    d = table(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
+    votes = {lang: TX.lang_votes(F.col("toks"), lang) for lang in TX.LANG_MARKERS}
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.predict_lang(votes).alias("pred_lang"),
+        votes["en"].alias("v_en"),
+        votes["de"].alias("v_de"),
+        votes["fr"].alias("v_fr"),
+        votes["es"].alias("v_es"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text,
+             list_transform(range(1, GREATEST(LEN(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS content_fp,
+           LIST_MIN(list_transform(shingles, s -> MD5(s))) AS min_shingle_fp,
+           CAST(LEN(shingles) AS INT) AS n_shingles
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact-dup key) +
+    lexicographic-min shingle md5 (1-perm MinHash, near-dup signal)."""
+    d = table(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
+    d = d.withColumn("shingles", TX.word_shingles(F.col("toks"), 3))
+    return d.select(
+        "doc_id",
+        TX.doc_fingerprint("text").alias("content_fp"),
+        TX.min_shingle_fingerprint(F.col("shingles")).alias("min_shingle_fp"),
+        F.size("shingles").alias("n_shingles"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, n_chars, {_TOKS_SQL} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_chars,
+        CAST(LEN(toks) AS DOUBLE) AS n_tokens,
+        CASE WHEN LENGTH(text) > 0
+             THEN CAST(LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                  / LENGTH(text) ELSE 0 END AS punct_ratio,
+        CASE WHEN LEN(toks) > 0
+             THEN CAST(LEN(list_filter(toks,
+                    t -> list_contains(['the','a','and','of','to','in','is'], t)))
+                  AS DOUBLE) / LEN(toks) ELSE 0 END AS stop_ratio,
+        CASE WHEN LEN(toks) > 0
+             THEN CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
+             ELSE 0 END AS uniq_ratio
+      FROM t
+    )
+    SELECT doc_id,
+      ROUND(0.25 * LEAST(n_tokens / 100.0, 1.0)
+          + 0.25 * (1.0 - LEAST(punct_ratio * 4.0, 1.0))
+          + 0.25 * LEAST(stop_ratio * 5.0, 1.0)
+          + 0.25 * uniq_ratio, 6) AS quality_score,
+      CAST(n_tokens AS INT) AS n_tokens,
+      ROUND(uniq_ratio, 6) AS uniq_ratio
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score in [0,1]: length signal,
+    punctuation penalty, stopword naturalness, vocabulary diversity —
+    the standard pre-training corpus filter shape."""
+    d = table(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
+    nt = F.size("toks").cast("double")
+    punct = TX.punct_ratio("text")
+    stop = TX.stopword_ratio(F.col("toks"))
+    uniq = F.when(
+        F.size("toks") > 0,
+        F.size(F.array_distinct("toks")).cast("double") / F.size("toks"),
+    ).otherwise(F.lit(0.0))
+    score = (
+        0.25 * F.least(nt / 100.0, F.lit(1.0))
+        + 0.25 * (1.0 - F.least(punct * 4.0, F.lit(1.0)))
+        + 0.25 * F.least(stop * 5.0, F.lit(1.0))
+        + 0.25 * uniq
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        F.size("toks").alias("n_tokens"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+    ).orderBy("doc_id")

@@ -1,0 +1,114 @@
+"""Event-time window aggregates — batch twins of the streaming semantics
+(SURVEY.md §2 Part B streaming rows; reference's closest shape is the
+1-hour-lookback A18 recomputed per minute ≈ a sliding window).
+
+The same `F.window` expressions run unchanged under readStream with a
+watermark (streaming/ingest.py); registering the batch versions makes
+them oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.registry import register
+
+
+@register(
+    "tumbling_hourly_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def tumbling_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type. `F.window`
+    aligns to epoch boundaries, so window.start == date_trunc('hour') —
+    the hypertable-rollup shape."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    WITH s AS (
+      SELECT e.ts, e.event_type,
+             DATE_TRUNC('hour', e.ts)
+               + TO_MINUTES(CASE WHEN EXTRACT(MINUTE FROM e.ts) >= 30 THEN 30 ELSE 0 END)
+               - TO_MINUTES(k.k * 30) AS window_start
+      FROM events e, (SELECT UNNEST([0, 1]) AS k) k
+    )
+    SELECT window_start, COUNT(*) AS n
+    FROM s
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide — every event
+    falls in exactly 2 windows. The oracle reconstructs Spark's
+    epoch-aligned window assignment via truncate-and-shift."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "minutely_ingest_cadence",
+    oracle="""
+    SELECT DATE_TRUNC('minute', ts) AS batch_minute,
+           COUNT(*) AS n_records,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE) AS batch_value
+    FROM events
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY batch_minute
+    """,
+)
+def minutely_ingest_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute batch rollup — the reference's every-60s ingestion
+    cadence (A23, reference gtfs_rt_assets.py:253-257) as an event-time
+    aggregate, with the A10 empty/trivial-batch guard as HAVING."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("batch_minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+            .cast("double")
+            .alias("batch_value"),
+        )
+        .filter(F.col("n_records") > 1)
+        .orderBy("batch_minute")
+    )

@@ -1,0 +1,194 @@
+"""Window-function surface (SURVEY.md §2 Part B window rows).
+
+The reference's only windowed shape is the degenerate top-1-by-sort
+(A19, reference gtfs_rt_assets.py:217-222); "latest position per
+vehicle" is the natural generalization — row_number over
+(partition by key order by ts desc) = 1.
+
+Running aggregates use DECIMAL so prefix sums are exact and
+order-of-addition-independent (see registry.py determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.registry import register
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the generalized A19. One shuffle on
+    user_id; at 100 TB prefer this over self-join-with-max (one pass)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window — the scalable 'N best per key'
+    (no per-group sort of the whole table; partial top-k under AQE)."""
+    od = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        od.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+@register(
+    "running_user_totals",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(value) OVER w AS prev_value,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           ROW_NUMBER() OVER w AS seq
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, seq
+    """,
+)
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions (lag/lead) + running-sum frame
+    (ROWS UNBOUNDED PRECEDING..CURRENT) + ranking, in one window pass."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(wf)
+            .cast("double")
+            .alias("running_value"),
+            F.row_number().over(w).alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+@register(
+    "rank_dense_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+    FROM customer
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+)
+def rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over per-segment balance ordering.
+    ntile gets a total order (tie-break on key) so bucket assignment is
+    deterministic across engines."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    wt = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(wt).alias("quartile"),
+        )
+        .orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 20
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap > 30 min starts a session; cumulative
+    sum of starts labels sessions. One shuffle on user_id; the streaming
+    twin is session_window (streaming/ module)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0))
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wf))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,59 @@
+"""Query registry: name -> (PySpark builder, DuckDB oracle SQL).
+
+Every operator from SURVEY.md §2 that we claim as implemented registers
+here; ``__spark_entry__.py`` exposes the registry to the driver, which
+runs builder-vs-oracle differential checks at sf=0.01.
+
+Determinism contract (driver compares row count + schema + order-
+insensitive value hash):
+
+- Every computed column is aliased identically in the Spark builder and
+  the oracle SQL.
+- Floating-point SUMs go through DECIMAL casts on BOTH sides: decimal
+  addition is exact and order-independent, so Spark's partial-agg-over-
+  32-partitions result equals DuckDB's single-threaded result bit-for-bit.
+  The final value is cast back to DOUBLE for a stable schema.
+- AVG is expressed as exact-decimal SUM (cast to double) / COUNT so both
+  engines perform the identical single double division.
+- Any LIMIT/top-k carries a total tie-breaking ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL; None -> driver runs rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QueryDef(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def dsum(col: Column | str, scale: int = 3, alias: str | None = None) -> Column:
+    """Order-independent SUM of a double column: SUM over DECIMAL cast,
+    result cast back to DOUBLE. Mirrors ``CAST(SUM(CAST(x AS DECIMAL(18,s)))
+    AS DOUBLE)`` in the oracle SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
