@@ -1,0 +1,192 @@
+"""GTFS-pipeline parity tests (SURVEY.md §5 strategy #2/#3: unit tests on
+tiny frames covering the reference's cited edge behaviors + end-to-end
+flatten -> sink -> catalog -> quality checks)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.pipeline.catalog import FileCatalog
+from transit_feed_etl_spark.pipeline.gtfs import (
+    RAW_FEED_SCHEMA,
+    VEHICLE_POSITION_SCHEMA,
+    flatten_feed,
+    validate_positions,
+    with_geometry,
+    with_time_partitions,
+    write_partitioned,
+)
+
+TS = datetime(2024, 3, 1, 12, 34, 56)
+
+
+def _entity(eid, vehicle):
+    return {"id": eid, "vehicle": vehicle}
+
+
+def _vehicle(vid=None, pos=None, trip=None, seq=None, status=None):
+    return {
+        "vehicle": {"id": vid} if vid else None,
+        "position": pos,
+        "trip": trip,
+        "current_stop_sequence": seq,
+        "current_status": status,
+    }
+
+
+@pytest.fixture(scope="module")
+def raw_feed(spark):
+    rows = [
+        {
+            "feed_id": "mta_bus",
+            "fetch_ts": TS,
+            "entity": [
+                _entity(
+                    "e1",
+                    _vehicle(
+                        "veh_1",
+                        {"latitude": 40.7, "longitude": -74.0, "speed": 5.0, "bearing": 90.0},
+                        {"trip_id": "t1", "route_id": "r1"},
+                        3,
+                        1,
+                    ),
+                ),
+                # non-vehicle entity: must be filtered (A4)
+                _entity("e2", None),
+                # vehicle present but all sub-structs absent: NULL fields (A5)
+                _entity("e3", _vehicle()),
+                # position without optional speed/bearing
+                _entity(
+                    "e4",
+                    _vehicle(
+                        "veh_2",
+                        {"latitude": 41.0, "longitude": -73.5, "speed": None, "bearing": None},
+                    ),
+                ),
+            ],
+        },
+        {"feed_id": "bart", "fetch_ts": TS, "entity": []},  # empty feed (A10)
+    ]
+    return spark.createDataFrame(rows, RAW_FEED_SCHEMA)
+
+
+def test_flatten_filters_and_null_guards(raw_feed):
+    flat = flatten_feed(raw_feed)
+    rows = {r["vehicle_id"]: r for r in flat.collect()}
+    # e2 (no vehicle) and the empty feed contribute nothing
+    assert flat.count() == 3
+    assert set(flat.columns) == {f.name for f in VEHICLE_POSITION_SCHEMA.fields}
+    # fully-populated entity
+    r1 = rows["veh_1"]
+    assert (r1["latitude"], r1["trip_id"], r1["current_stop_sequence"]) == (40.7, "t1", 3)
+    # all-absent sub-structs -> all NULL (A5)
+    r3 = rows[None]
+    assert r3["latitude"] is None and r3["trip_id"] is None and r3["current_status"] is None
+    # partial position
+    r4 = rows["veh_2"]
+    assert r4["latitude"] == 41.0 and r4["speed"] is None
+
+
+def test_geometry_null_when_coords_missing(raw_feed):
+    geo = with_geometry(flatten_feed(raw_feed))
+    rows = {r["vehicle_id"]: r for r in geo.collect()}
+    assert rows["veh_1"]["geometry"]["lon"] == -74.0
+    assert rows[None]["geometry"] is None  # A11 null-guard
+    assert rows["veh_1"]["crs"] == "EPSG:4326"
+
+
+def test_validate_positions_quarantine(spark):
+    rows = [
+        ("f", TS, "ok", 40.0, -74.0, None, None, None, None, None, None),
+        ("f", TS, "bad_lat", 95.0, -74.0, None, None, None, None, None, None),
+        ("f", TS, "bad_lon", 40.0, -200.0, None, None, None, None, None, None),
+        ("f", TS, "null_ok", None, None, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, VEHICLE_POSITION_SCHEMA)
+    good, bad = validate_positions(df)
+    assert {r["vehicle_id"] for r in good.collect()} == {"ok", "null_ok"}
+    assert {r["vehicle_id"] for r in bad.collect()} == {"bad_lat", "bad_lon"}
+
+
+def test_partitioned_sink_and_pruning(spark, tmp_path):
+    df = with_time_partitions(
+        with_geometry(
+            spark.createDataFrame(
+                [
+                    ("f", datetime(2024, 3, 1, 12, 0, 1), "a", 40.0, -74.0, 1.0, 0.0, None, None, None, None),
+                    ("f", datetime(2024, 3, 1, 13, 0, 2), "b", 41.0, -73.0, 2.0, 0.0, None, None, None, None),
+                ],
+                VEHICLE_POSITION_SCHEMA,
+            )
+        )
+    )
+    root = str(tmp_path / "positions")
+    write_partitioned(df, root)
+    back = spark.read.parquet(root)
+    assert back.count() == 2
+    # partition pruning: an hour filter must prune to a single partition
+    pruned = back.filter((F.col("hour") == 12) & (F.col("day") == 1))
+    assert pruned.count() == 1
+    plan = pruned.explain(mode="formatted") or ""
+    assert [r["vehicle_id"] for r in pruned.collect()] == ["a"]
+
+
+def test_catalog_roundtrip_and_checks(spark, tmp_path):
+    cat = FileCatalog(spark, str(tmp_path / "catalog"))
+    assert cat.total_records() == 0  # empty-catalog DDL parity (A13)
+
+    batch = with_time_partitions(
+        spark.createDataFrame(
+            [
+                ("f", datetime(2024, 3, 1, 12, 0, 1), "a", 40.0, -74.0, None, None, None, None, None, None),
+                ("f", datetime(2024, 3, 1, 12, 30, 2), "b", 41.0, -73.0, None, None, None, None, None, None),
+            ],
+            VEHICLE_POSITION_SCHEMA,
+        )
+    )
+    root = str(tmp_path / "data")
+    write_partitioned(batch, root)
+    part_path = f"{root}/year=2024/month=3/day=1/hour=12"
+    cat.append_batch(batch, batch_id=0, file_path=part_path)
+
+    assert cat.total_records() == 2  # A17
+    assert cat.recent_records(1) == 2  # A18 (anchored on max ts)
+    latest = cat.latest_file()  # A19
+    assert latest["file_path"] == part_path
+    assert cat.missing_files().count() == 0  # A20
+    check = cat.check_not_empty()  # A21
+    assert check["passed"] and check["total_records"] == 2
+
+    # bbox row: A14 values
+    row = cat.read().collect()[0]
+    assert (row["bbox_minx"], row["bbox_maxy"]) == (-74.0, 41.0)
+
+    # NULL-bbox batch (all coords null) — reference :169-170
+    null_batch = with_time_partitions(
+        spark.createDataFrame(
+            [("f", datetime(2024, 3, 1, 14, 0, 1), "c", None, None, None, None, None, None, None, None)],
+            VEHICLE_POSITION_SCHEMA,
+        )
+    )
+    write_partitioned(null_batch, root)
+    cat.append_batch(null_batch, 1, f"{root}/year=2024/month=3/day=1/hour=14")
+    null_row = [r for r in cat.read().collect() if r["batch_id"] == 1][0]
+    assert null_row["bbox_minx"] is None and null_row["record_count"] == 1
+
+    # bbox pruning: query box intersecting only batch 0's box; the
+    # NULL-bbox file must be KEPT (unknown extent)
+    files = cat.prune_files(-75.0, 39.0, -73.9, 40.5)
+    assert part_path in files and len(files) == 2
+
+    # catalog-vs-fs consistency: fabricate a missing file row (A20)
+    cat.append_batch(batch, 2, str(tmp_path / "nonexistent"))
+    missing = cat.missing_files().collect()
+    assert len(missing) == 1 and missing[0]["batch_id"] == 2
+
+    # pruned scan + residual filter
+    df = cat.read_bbox(-75.0, 39.0, -73.9, 40.5)
+    assert [r["vehicle_id"] for r in df.collect()] == ["a"]

@@ -1,0 +1,162 @@
+"""Streaming tests: end-to-end spool->ingest->catalog (A23 pipeline as a
+Structured Streaming query) and the Phase-3 window/dedup/session/stateful
+semantics, driven synchronously with availableNow/processAllAvailable."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transit_feed_etl_spark.streaming.ingest import start_ingest
+from transit_feed_etl_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_windows,
+    stateful_anomaly_counts,
+    windowed_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def _spool_file(path, feed_id, ts_iso, entities):
+    with open(path, "w") as f:
+        json.dump({"feed_id": feed_id, "fetch_ts": ts_iso, "entity": entities}, f)
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path):
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    ent = lambda vid, lat, lon: {  # noqa: E731
+        "id": vid,
+        "vehicle": {
+            "vehicle": {"id": vid},
+            "position": {"latitude": lat, "longitude": lon, "speed": 1.0, "bearing": 0.0},
+            "trip": {"trip_id": "t", "route_id": "r"},
+            "current_stop_sequence": 1,
+            "current_status": 2,
+        },
+    }
+    _spool_file(spool / "mta_1.json", "mta", "2024-03-01T12:00:00", [ent("v1", 40.7, -74.0)])
+    _spool_file(
+        spool / "mta_2.json",
+        "mta",
+        "2024-03-01T12:01:00",
+        [ent("v2", 40.8, -73.9), {"id": "x", "vehicle": None}, ent("bad", 99.0, -500.0)],
+    )
+
+    q, metrics, catalog = start_ingest(
+        spark,
+        str(spool),
+        str(tmp_path / "out"),
+        str(tmp_path / "catalog"),
+        str(tmp_path / "ckpt"),
+        quarantine_root=str(tmp_path / "quarantine"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    assert metrics.records == 2  # v1, v2 (x filtered by A4; bad quarantined by A8)
+    assert metrics.quarantined == 1
+    assert catalog.total_records() == 2
+    assert catalog.check_not_empty()["passed"]
+    data = spark.read.parquet(str(tmp_path / "out"))
+    assert {r["vehicle_id"] for r in data.collect()} == {"v1", "v2"}
+    quar = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert quar.collect()[0]["vehicle_id"] == "bad"
+
+
+def _stream_events(spark, tmp_path, rows, name):
+    src = tmp_path / f"events_src_{name}"
+    src.mkdir()
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    t = lambda m, s=0: datetime(2024, 3, 1, 12, m, s)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "click", 1.0),
+        (2, t(2), 1, "click", 2.0),
+        (3, t(7), 2, "view", 3.0),
+    ]
+    agg = windowed_counts(
+        _stream_events(spark, tmp_path, rows, "win"), window="5 minutes"
+    )
+    # complete mode: append would hold back windows the watermark hasn't
+    # passed, and a drained availableNow stream never advances it further
+    _run_to_memory(agg, "win_out", mode="complete")
+    out = {(r["window_start"].minute, r["event_type"]): r["n"] for r in
+           spark.sql("SELECT * FROM win_out").collect()}
+    assert out == {(0, "click"): 2, (5, "view"): 1}
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    t = lambda m: datetime(2024, 3, 1, 12, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "click", 1.0),
+        (1, t(1), 1, "click", 1.0),  # duplicate event_id within watermark
+        (2, t(2), 1, "view", 2.0),
+    ]
+    dd = dedup_within_watermark(
+        _stream_events(spark, tmp_path, rows, "dd"), keys=["event_id"]
+    )
+    _run_to_memory(dd, "dd_out")
+    assert spark.sql("SELECT count(*) AS n FROM dd_out").collect()[0]["n"] == 2
+
+
+def test_session_windows_stream(spark, tmp_path):
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    rows = [
+        (1, t(12, 0), 7, "click", 1.0),
+        (2, t(12, 10), 7, "click", 1.0),   # same session (gap < 30m)
+        (3, t(14, 0), 7, "click", 1.0),    # new session
+    ]
+    sw = session_windows(_stream_events(spark, tmp_path, rows, "sess"), gap="30 minutes")
+    _run_to_memory(sw, "sess_out", mode="complete")
+    out = sorted(
+        (r["session_start"].hour, r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    )
+    assert out == [(12, 2), (14, 1)]
+
+
+def test_stateful_anomaly_operator(spark, tmp_path):
+    t = lambda m: datetime(2024, 3, 1, 12, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "click", 1.0),
+        (2, t(1), 1, "click", 1.0),
+        (3, t(2), 1, "click", 500.0),  # >10x running mean -> anomaly
+        (4, t(3), 2, "view", 2.0),
+    ]
+    st = stateful_anomaly_counts(_stream_events(spark, tmp_path, rows, "anom"))
+    _run_to_memory(st, "anom_out", mode="update")
+    out = {r["user_id"]: r for r in spark.sql("SELECT * FROM anom_out").collect()}
+    assert out[1]["n_anomalies"] >= 1
+    assert out[1]["running_total"] == 502.0
+    assert out[2]["n_anomalies"] == 0

@@ -1,0 +1,215 @@
+"""File-metadata catalog (SURVEY.md §2 A13-A21): the Spark equivalent of
+the reference's SQLite `geoparquet_files` table (reference
+gtfs_rt_assets.py:146-190) — one metadata row per written batch with
+record count and bounding box, kept as an append-only parquet table.
+
+The bbox columns act as a coarse spatial zone map: `prune_files` turns a
+query bbox into the subset of file paths whose bbox intersects it, and
+the caller scans only those (reference stores bboxes but never queries
+them — SURVEY.md §4 flags this as the missed index; we close the loop).
+
+Auto-increment `id` (reference gtfs_rt_assets.py:148) has no distributed
+equivalent — we use (batch_id, created_at) instead; documented deviation.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("record_count", T.LongType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("bbox_minx", T.DoubleType(), True),
+        T.StructField("bbox_miny", T.DoubleType(), True),
+        T.StructField("bbox_maxx", T.DoubleType(), True),
+        T.StructField("bbox_maxy", T.DoubleType(), True),
+    ]
+)
+
+
+@dataclass
+class FileCatalog:
+    spark: SparkSession
+    path: str
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs
+        )
+
+    def read(self) -> DataFrame:
+        """A13: the catalog table (empty frame with the DDL schema when
+        nothing has been written — CREATE TABLE IF NOT EXISTS parity)."""
+        if self._exists():
+            return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.path)
+        return self.spark.createDataFrame([], CATALOG_SCHEMA)
+
+    def append_batch(self, batch: DataFrame, batch_id: int, file_path: str) -> None:
+        """A14+A15+A16: compute the batch's bbox (MIN/MAX over lon/lat —
+        gdf.total_bounds parity, reference gtfs_rt_assets.py:161-168;
+        NULL bbox when no valid geometry, :169-170) + record count, and
+        append one metadata row. One tiny aggregate job per batch."""
+        row = batch.agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.min("longitude").alias("bbox_minx"),
+            F.min("latitude").alias("bbox_miny"),
+            F.max("longitude").alias("bbox_maxx"),
+            F.max("latitude").alias("bbox_maxy"),
+            F.max("ts").alias("ts"),
+        ).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(file_path).alias("file_path"),
+            F.coalesce(F.col("ts"), F.current_timestamp()).alias("ts"),
+            F.col("record_count").cast("long"),
+            F.current_timestamp().alias("created_at"),
+            "bbox_minx",
+            "bbox_miny",
+            "bbox_maxx",
+            "bbox_maxy",
+        )
+        row.write.mode("append").parquet(self.path)
+
+    def append_batch_partitions(
+        self, batch: DataFrame, batch_id: int, out_root: str
+    ) -> None:
+        """Per-partition catalog rows: one metadata row per hour
+        partition the batch touched (a micro-batch can span hours when
+        catching up — a single whole-batch row would leave earlier
+        partitions invisible to the bbox zone map). One aggregate job,
+        grouped on the partition columns."""
+        part_path = F.format_string(
+            f"{out_root}/year=%d/month=%d/day=%d/hour=%d",
+            F.col("year"),
+            F.col("month"),
+            F.col("day"),
+            F.col("hour"),
+        )
+        rows = (
+            batch.groupBy("year", "month", "day", "hour")
+            .agg(
+                F.count(F.lit(1)).alias("record_count"),
+                F.min("longitude").alias("bbox_minx"),
+                F.min("latitude").alias("bbox_miny"),
+                F.max("longitude").alias("bbox_maxx"),
+                F.max("latitude").alias("bbox_maxy"),
+                F.max("ts").alias("ts"),
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                part_path.alias("file_path"),
+                F.col("ts"),
+                F.col("record_count").cast("long"),
+                F.current_timestamp().alias("created_at"),
+                "bbox_minx",
+                "bbox_miny",
+                "bbox_maxx",
+                "bbox_maxy",
+            )
+        )
+        rows.write.mode("append").parquet(self.path)
+
+    # ---- quality-check queries (A17-A21, reference gtfs_rt_assets.py:200-245)
+
+    def total_records(self) -> int:
+        """A17: SUM(record_count) with NULL->0."""
+        return self.read().agg(
+            F.coalesce(F.sum("record_count"), F.lit(0)).alias("total")
+        ).collect()[0]["total"]
+
+    def recent_records(self, lookback_hours: int = 1) -> int:
+        """A18: records in the trailing window, anchored on MAX(ts)
+        (event-time — fixes the reference's wall-clock/localtime bug,
+        gtfs_rt_assets.py:210-214)."""
+        cat = self.read()
+        anchor = cat.agg(F.max("ts").alias("m"))
+        return (
+            cat.crossJoin(F.broadcast(anchor))
+            .filter(F.col("ts") >= F.col("m") - F.expr(f"INTERVAL {lookback_hours} HOUR"))
+            .agg(F.coalesce(F.sum("record_count"), F.lit(0)).alias("recent"))
+            .collect()[0]["recent"]
+        )
+
+    def latest_file(self):
+        """A19: most recent catalog row (ORDER BY ts DESC LIMIT 1, with
+        batch_id tie-break)."""
+        rows = (
+            self.read()
+            .orderBy(F.col("ts").desc(), F.col("batch_id").desc())
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def missing_files(self) -> DataFrame:
+        """A20: catalog-vs-filesystem consistency as a real left-anti
+        join (the reference does os.path.exists on one row,
+        gtfs_rt_assets.py:225-226)."""
+        cat = self.read()
+        paths = [p["file_path"] for p in cat.select("file_path").distinct().collect()]
+        existing = [(p,) for p in paths if os.path.exists(p)]
+        fs = self.spark.createDataFrame(
+            existing or [], T.StructType([T.StructField("file_path", T.StringType(), False)])
+        )
+        return cat.join(fs, "file_path", "left_anti")
+
+    def check_not_empty(self, lookback_hours: int = 1) -> dict:
+        """A21: the reference's asset check — total>0, recent>0, latest
+        file exists — returned as a metrics dict (A22 metadata parity)."""
+        total = self.total_records()
+        recent = self.recent_records(lookback_hours)
+        latest = self.latest_file()
+        latest_exists = latest is not None and os.path.exists(latest["file_path"])
+        return {
+            "passed": bool(total > 0 and recent > 0 and latest_exists),
+            "total_records": int(total),
+            "recent_records": int(recent),
+            "latest_file": latest["file_path"] if latest else None,
+            "latest_file_exists": latest_exists,
+        }
+
+    # ---- bbox zone-map pruning (SURVEY.md §4 custom piece #1)
+
+    def prune_files(
+        self, minx: float, miny: float, maxx: float, maxy: float
+    ) -> list[str]:
+        """Return catalog file paths whose bbox intersects the query
+        bbox (NULL-bbox files are kept — unknown extent must not be
+        skipped). Feed the result to spark.read.parquet(*paths): a
+        zone-map file skip executed before the scan starts."""
+        cat = self.read()
+        intersects = (
+            F.col("bbox_minx").isNull()
+            | (
+                (F.col("bbox_minx") <= maxx)
+                & (F.col("bbox_maxx") >= minx)
+                & (F.col("bbox_miny") <= maxy)
+                & (F.col("bbox_maxy") >= miny)
+            )
+        )
+        return [
+            r["file_path"]
+            for r in cat.filter(intersects).select("file_path").distinct().collect()
+        ]
+
+    def read_bbox(
+        self, minx: float, miny: float, maxx: float, maxy: float
+    ) -> DataFrame | None:
+        """Pruned scan + exact residual filter (files are coarse; rows
+        still need the precise predicate)."""
+        files = [p for p in self.prune_files(minx, miny, maxx, maxy) if os.path.exists(p)]
+        if not files:
+            return None
+        df = self.spark.read.parquet(*files)
+        return df.filter(
+            F.col("longitude").between(minx, maxx)
+            & F.col("latitude").between(miny, maxy)
+        )
