@@ -1,0 +1,101 @@
+"""Dedup operator tests: LSH recall vs the exact Jaccard join, SimHash
+determinism and Hamming-pair semantics.
+
+The LSH pipelines are not oracle-checkable (xxhash64 bucket membership is
+engine-specific), so their correctness contract is a *property*: every pair
+the exact join finds at the threshold must be found by the approximate
+path too (the testdata's near-dups sit at Jaccard >= 0.9 where the
+16-band/4-row s-curve is ~1.0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table_par
+from transit_feed_etl_spark.operators import minhash as MH
+from transit_feed_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = _pairs(QUERIES["neardup_jaccard_pairs"].builder(spark, SF_DIR))
+    approx = _pairs(QUERIES["minhash_lsh_candidates"].builder(spark, SF_DIR))
+    assert exact, "testdata should contain near-dup pairs"
+    missed = exact - approx
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs"
+    # and no false positives survive the exact-Jaccard verification step
+    assert approx <= exact
+
+
+def test_minhash_jaccard_values_match_exact(spark):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["neardup_jaccard_pairs"].builder(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["minhash_lsh_candidates"].builder(spark, SF_DIR).collect()
+    }
+    for pair, j in approx.items():
+        assert abs(j - exact[pair]) < 1e-9  # verification recomputes exact J
+
+    # and every reported pair clears the threshold
+    assert all(j >= 0.35 for j in approx.values())
+
+
+def test_simhash_deterministic(spark):
+    a = QUERIES["simhash_fingerprints"].builder(spark, SF_DIR).collect()
+    b = QUERIES["simhash_fingerprints"].builder(spark, SF_DIR).collect()
+    assert [(r.doc_id, r.simhash) for r in a] == [(r.doc_id, r.simhash) for r in b]
+    assert len(a) == table_par(spark, SF_DIR, "documents").count()
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    """Exact near-dup pairs (Jaccard >= 0.35) should sit at a visibly
+    smaller SimHash Hamming distance than random pairs."""
+    fps = MH.simhash(
+        table_par(spark, SF_DIR, "documents"), id_col="doc_id", text_col="text"
+    )
+    exact = QUERIES["neardup_jaccard_pairs"].builder(spark, SF_DIR)
+    fa, fb = fps.alias("fa"), fps.alias("fb")
+    ham = F.bit_count(F.col("fa.simhash").bitwiseXOR(F.col("fb.simhash")))
+    dup_ham = (
+        exact.join(fa, F.col("id_a") == F.col("fa.doc_id"))
+        .join(fb, F.col("id_b") == F.col("fb.doc_id"))
+        .agg(F.avg(ham).alias("avg_ham"))
+        .collect()[0]
+        .avg_ham
+    )
+    assert dup_ham is not None and dup_ham < 16  # random 64-bit pairs average 32
+
+
+def test_simhash_pairs_pigeonhole(spark):
+    """simhash_pairs at max_hamming=3 must find every pair whose true
+    Hamming distance is <= 3 (pigeonhole over 4x16-bit chunks is exact)."""
+    fps = MH.simhash(
+        table_par(spark, SF_DIR, "documents"), id_col="doc_id", text_col="text"
+    ).cache()
+    got = {
+        (r.id_a, r.id_b)
+        for r in MH.simhash_pairs(fps, max_hamming=3).collect()
+    }
+    fa, fb = fps.alias("fa"), fps.alias("fb")
+    ham = F.bit_count(F.col("fa.simhash").bitwiseXOR(F.col("fb.simhash")))
+    want = {
+        (r.id_a, r.id_b)
+        for r in fa.join(
+            fb, F.col("fa.doc_id") < F.col("fb.doc_id")
+        )
+        .filter(ham <= 3)
+        .select(
+            F.col("fa.doc_id").alias("id_a"), F.col("fb.doc_id").alias("id_b")
+        )
+        .collect()
+    }
+    assert got == want

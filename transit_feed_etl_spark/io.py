@@ -43,6 +43,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`table`, but guarantees the scan feeds at least
+    ``defaultParallelism`` partitions.
+
+    The driver testdata is one parquet file with ONE row group per table, so
+    the scan is an unsplittable single task; expression-heavy per-row work
+    (tokenize/shingle/hash) would serialize onto one core. One cheap
+    round-robin shuffle of the raw rows buys full-core downstream map work.
+    On a real cluster the input split count already exceeds parallelism and
+    this becomes a no-op (guarded, no shuffle is added).
+    """
+    df = table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql use)."""
     for name in TABLES:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.operators import minhash as MH
 from transit_feed_etl_spark.operators import textfns as TX
 from transit_feed_etl_spark.registry import register
@@ -106,13 +106,22 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup join: distinct word-3-gram shingle
     sets, pair intersection via shingle self-join, Jaccard >= 0.35.
     This is the exact baseline that the MinHash-LSH operator approximates."""
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(TX.word_shingles(TX.tokens("text"), 3)).alias("sh"),
-    )
+    # table_par: the single-row-group testdata file would serialize the
+    # CPU-heavy shingle evaluation onto one core (io.py docstring).
+    d = table_par(spark, sf_dir, "documents")
+    # Two-step projection (tokens as an attribute, shingles over it) — see
+    # operators/minhash.py: inlining tokens() into the shingle lambda
+    # re-tokenizes the doc per element_at call (~100x measured).
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    # Persist the shingle-set relation: it feeds `sizes` (used on both
+    # broadcast sides) and both sides of the shingle self-join — four plan
+    # references that would otherwise each re-run tokenize+shingle.
+    sh = toks.select(
+        "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+    ).persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    e = sh.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("s"))
+    # Inner explode drops empty arrays natively — no size() pre-filter.
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
     a = e.alias("a")
     b = e.alias("b")
     inter = (
@@ -142,7 +151,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver check is rows-only (bucket hashes are engine-specific);
     tests/test_dedup.py checks recall == 1.0 vs `neardup_jaccard_pairs`
     at this threshold on the testdata."""
-    d = table(spark, sf_dir, "documents")
+    d = table_par(spark, sf_dir, "documents")
     return MH.minhash_lsh_pairs(
         d, id_col="doc_id", text_col="text", threshold=0.35, n_hashes=64, bands=16
     ).orderBy("id_a", "id_b")
@@ -154,5 +163,5 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes over xxhash64(token). Near-dups land within small Hamming
     distance; pairs are found by pigeonhole banding (operators/minhash.py).
     Rows-only driver check; determinism asserted in tests."""
-    d = table(spark, sf_dir, "documents")
+    d = table_par(spark, sf_dir, "documents")
     return MH.simhash(d, id_col="doc_id", text_col="text").orderBy("doc_id")

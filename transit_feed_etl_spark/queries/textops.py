@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.operators import textfns as TX
 from transit_feed_etl_spark.registry import register
 
@@ -136,7 +136,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of normalized text (exact-dup key) +
     lexicographic-min shingle md5 (1-perm MinHash, near-dup signal)."""
-    d = table(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
+    d = table_par(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
     d = d.withColumn("shingles", TX.word_shingles(F.col("toks"), 3))
     return d.select(
         "doc_id",
