@@ -9,11 +9,13 @@ from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     asof_queries,
     dedup,
     joins,
+    media,
     relational,
     scalar_funcs,
     setops,
     similarity,
     textops,
     time_windows,
+    udf_surface,
     windows,
 )

@@ -222,3 +222,46 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+      GROUPING(o_orderstatus) AS g_status,
+      GROUPING(o_orderpriority) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_prio,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): per-status
+    totals, per-priority totals, and the grand total in ONE shuffle —
+    Catalyst expands the sets via a single Expand node instead of three
+    scans + union."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+        )
+        .orderBy(
+            "g_status",
+            "g_prio",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

@@ -140,3 +140,105 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("qid", "rnk")
     )
+
+
+_COS6 = (
+    "ROUND(" + _DOT_SQL.format(a="{a}", b="{b}")
+    + " / (" + _NORM_SQL.format(a="{a}") + " * " + _NORM_SQL.format(a="{b}") + "), 6)"
+)
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+    asg AS (
+      SELECT v.vec_id, s.cid,
+             {_COS6.format(a="v.v", b="s.cv")} AS cos_c,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY {_COS6.format(a="v.v", b="s.cv")} DESC, s.cid ASC) AS rn
+      FROM v CROSS JOIN seeds s
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, cid AS probe_cell FROM asg
+      WHERE vec_id < 10 AND rn <= 2
+    ),
+    scored AS (
+      SELECT p.qid, c.vec_id AS nid,
+             {_COS6.format(a="q.v", b="c.v")} AS score
+      FROM probes p
+      JOIN v q        ON q.vec_id = p.qid
+      JOIN cells ce   ON ce.cell = p.probe_cell
+      JOIN v c        ON c.vec_id = ce.vec_id AND c.vec_id <> p.qid
+    )
+    SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, fully deterministic (hence oracle-checkable):
+
+    - coarse quantizer: the 16 lowest-id vectors act as fixed centroids
+      (a one-pass IVF; a trained k-means would drop in here unchanged);
+    - every vector is assigned to its nearest centroid (broadcast the
+      16-row centroid table, argmax cosine — map-side, no shuffle);
+    - each query probes its nprobe=2 nearest cells and scores only the
+      vectors in those cells (~n/8 of the corpus at 16 cells).
+
+    At 100 TB the cell id is the partition key: candidate scoring
+    becomes a cell-local join instead of the brute-force cross product.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double("embedding").alias("v"))
+    seeds = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cos_c = F.round(V.cosine(F.col("v"), F.col("cv")), 6)
+    wa = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    asg = (
+        v.join(F.broadcast(seeds))
+        .select("vec_id", "v", "cid", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(wa))
+    )
+    # Unique column names per relation before the joins: cells/probes/q
+    # all descend from the same scan, and attribute-by-DataFrame references
+    # across that shared lineage can silently resolve to the wrong side.
+    cells = asg.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("member_id"), F.col("cid").alias("cell")
+    )
+    probes = (
+        asg.filter((F.col("vec_id") < 10) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("probe_cell"))
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    nbrs = v.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    cand = (
+        probes.join(F.broadcast(q), "qid")
+        .join(cells, F.col("cell") == F.col("probe_cell"))
+        .join(nbrs, F.col("nid") == F.col("member_id"))
+        .filter(F.col("nid") != F.col("qid"))
+    )
+    ws = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        cand.select(
+            "qid",
+            "nid",
+            F.round(V.cosine(F.col("qv"), F.col("nv")), 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nid", F.round("score", 4).alias("score"), "rnk")
+        .orderBy("qid", "rnk")
+    )

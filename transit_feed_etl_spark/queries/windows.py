@@ -192,3 +192,111 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "range_frame_trailing_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h_sum
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-user trailing-1-hour sum. The
+    frame is value-based (rangeBetween on epoch seconds), not row-based —
+    rows inside the same hour share contributors regardless of row
+    position. DECIMAL prefix sums keep the result order-independent."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,3)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_sum"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "first_last_nth_per_group",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+      FIRST_VALUE(o_orderkey) OVER w AS first_order,
+      LAST_VALUE(o_orderkey)  OVER w AS last_order,
+      NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+      COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+)
+def first_last_nth_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit full-partition
+    ROWS frame (the default frame would stop at CURRENT ROW and make
+    last_value useless — a classic window-frame trap)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "ntile_percentile_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ORDER BY o_orderpriority, o_totalprice ASC, o_orderkey ASC
+    LIMIT 1000
+    """,
+)
+def ntile_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking functions: ntile quartiles, percent_rank,
+    cume_dist — deterministic because the window order carries a unique
+    tie-break key."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy(F.col("o_orderpriority"), F.col("pct_rank").asc(), F.col("o_orderkey").asc())
+        .limit(1000)
+    )
