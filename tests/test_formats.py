@@ -1,0 +1,75 @@
+"""CSV/JSON source-format tests: explicit-schema scans, malformed-row
+quarantine, and the ingest->parquet landing step."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transit_feed_etl_spark.sources import formats as FMT
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+
+def test_csv_roundtrip_with_quarantine(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,1.5\n"
+        "2,beta,2.5\n"
+        "oops,not_a_long,xyz\n"  # malformed: id/score unparseable
+        "4,delta,4.5\n"
+    )
+    df = FMT.read_csv(spark, str(p), SCHEMA)
+    good, bad = FMT.split_quarantine(df)
+    assert good.count() == 3
+    assert bad.count() == 1
+    assert bad.select("_corrupt").first()[0].startswith("oops")
+    assert [f.name for f in good.schema.fields] == ["id", "name", "score"]
+    assert good.filter(F.col("id") == 2).first().score == 2.5
+
+
+def test_json_roundtrip_with_quarantine(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    rows = [
+        json.dumps({"id": 1, "name": "alpha", "score": 1.5}),
+        '{"id": broken',
+        json.dumps({"id": 3, "name": "gamma", "score": None}),
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    df = FMT.read_json(spark, str(p), SCHEMA)
+    good, bad = FMT.split_quarantine(df)
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert good.filter("id = 3").first().score is None
+
+
+def test_land_as_partitioned_parquet(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "id,name,score\n" + "\n".join(f"{i},n{i},{i % 3}.0" for i in range(30)) + "\n"
+    )
+    df = FMT.read_csv(spark, str(src), SCHEMA, quarantine=False)
+    df = df.withColumn("bucket", (F.col("id") % 3).cast("int"))
+    out = str(tmp_path / "landed")
+    FMT.to_parquet_partitioned(df, out, ["bucket"])
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    # Hive-style layout on disk + partition pruning in the physical plan
+    assert {d.name for d in (tmp_path / "landed").iterdir() if d.is_dir()} == {
+        "bucket=0",
+        "bucket=1",
+        "bucket=2",
+    }
+    pruned = back.filter(F.col("bucket") == 1)
+    assert pruned.count() == 10
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
