@@ -33,6 +33,15 @@ def minhash_signature(
     n_hashes partial-aggregatable min() columns over the exploded shingle
     relation: one shuffle keyed on doc id.
     """
+    # Hash-partition by doc id BEFORE tokenizing: everything downstream
+    # (shingle projection, explode, the 64-min aggregation, and the
+    # sh-to-sig join) is then already partitioned on the grouping/join key,
+    # so the wide partial-agg shuffle (32 partitions x n_docs groups x 64
+    # buffer columns) disappears — the groupBy and the join both reuse this
+    # one exchange of raw text. At 100 TB that swaps an O(docs x 64 x
+    # partitions) signature shuffle for an O(text) one.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, F.col(id_col))
     # Two-step projection: tokens FIRST as a named column, shingles over
     # the attribute. Inlining tokens() into word_shingles() would embed the
     # tokenizer expression inside the transform lambda's element_at calls,
@@ -130,6 +139,10 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     conditional-sum aggregates over the exploded token relation —
     partial-aggregatable, one shuffle on doc id.
     """
+    # Same pre-partitioning trick as minhash_signature: group-by-id needs
+    # no exchange when the token explode already sits on hash(doc_id).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, F.col(id_col))
     toks = docs.select(F.col(id_col).alias("doc_id"), TX.tokens(text_col).alias("_t0")).select(
         "doc_id", F.array_distinct("_t0").alias("_t")
     )

@@ -19,7 +19,13 @@ def as_double(vec: Column | str) -> Column:
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double dot product (mirrors DuckDB
-    list_sum(list_transform(...)) accumulation order)."""
+    list_sum(list_transform(...)) accumulation order).
+
+    Deliberately the higher-order-function fold and NOT an unrolled
+    a[1]*b[1]+...+a[d]*b[d] chain: a 64-term Add tree falls out of
+    whole-stage codegen into interpreted tree-walking (measured 35s vs
+    2.5s for the 2M-pair join at sf0.1 — per-element lambda dispatch is
+    cheaper than per-node tree interpretation)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

@@ -151,7 +151,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver check is rows-only (bucket hashes are engine-specific);
     tests/test_dedup.py checks recall == 1.0 vs `neardup_jaccard_pairs`
     at this threshold on the testdata."""
-    d = table_par(spark, sf_dir, "documents")
+    # no table_par: minhash_signature hash-partitions by doc_id itself.
+    d = table(spark, sf_dir, "documents")
     return MH.minhash_lsh_pairs(
         d, id_col="doc_id", text_col="text", threshold=0.35, n_hashes=64, bands=16
     ).orderBy("id_a", "id_b")
@@ -163,5 +164,5 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes over xxhash64(token). Near-dups land within small Hamming
     distance; pairs are found by pigeonhole banding (operators/minhash.py).
     Rows-only driver check; determinism asserted in tests."""
-    d = table_par(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents")
     return MH.simhash(d, id_col="doc_id", text_col="text").orderBy("doc_id")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.registry import dsum, register
 
 # --------------------------------------------------------------------------
@@ -57,8 +57,11 @@ from transit_feed_etl_spark.registry import dsum, register
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped pricing summary over lineitem (TPC-H Q1 shape)."""
-    li = table(spark, sf_dir, "lineitem")
+    """Grouped pricing summary over lineitem (TPC-H Q1 shape).
+    table_par: the 7-way decimal partial aggregation is the heavy map
+    work; parallelizing the single-row-group scan halves cold wall time
+    (decimal sums are order-independent, so results are unaffected)."""
+    li = table_par(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,3)")
     price = F.col("l_extendedprice").cast("decimal(18,3)")
     disc = F.col("l_discount").cast("decimal(18,3)")

@@ -48,7 +48,7 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality signals: whitespace tokens, BPE-ish regex
     tokens, avg token length, punctuation ratio, stopword ratio."""
-    d = table(spark, sf_dir, "documents")
+    d = table_par(spark, sf_dir, "documents")
     toks = TX.tokens("text")
     d = d.withColumn("toks", toks)
     nt = F.size("toks")
@@ -100,7 +100,7 @@ def _votes_sql(lang: str) -> str:
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: stopword-marker votes per language, argmax
     with priority tie-break (en > de > fr > es), 'unknown' on zero votes."""
-    d = table(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
+    d = table_par(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
     votes = {lang: TX.lang_votes(F.col("toks"), lang) for lang in TX.LANG_MARKERS}
     return d.select(
         "doc_id",
@@ -182,7 +182,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document quality score in [0,1]: length signal,
     punctuation penalty, stopword naturalness, vocabulary diversity —
     the standard pre-training corpus filter shape."""
-    d = table(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
+    d = table_par(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
     nt = F.size("toks").cast("double")
     punct = TX.punct_ratio("text")
     stop = TX.stopword_ratio(F.col("toks"))
