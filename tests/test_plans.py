@@ -1,0 +1,110 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(pushdown, pruning, broadcast choice, exchange minimization) checked
+against the actual Catalyst output, not just claimed in docstrings.
+
+Plans are inspected AFTER execution (AQE finalizes join strategies at
+runtime); `_final_plan` strips the "Initial Plan" section AQE appends so
+exchange counts refer to what actually ran.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _final_plan(df) -> str:
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _final_plan(QUERIES["q1_pricing_summary"].builder(spark, SF))
+    # the shipdate predicate must reach the parquet scan
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    # column pruning: the scan reads only the 7 referenced columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+    # partial aggregation (map-side combine) before the shuffle
+    assert "partial_sum" in plan
+
+
+def test_join_revenue_broadcasts_dims(spark):
+    plan = _final_plan(QUERIES["join_revenue_by_nation"].builder(spark, SF))
+    # nation + customer broadcast; no nested-loop anywhere
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    # orderdate filter pushdown on the orders scan
+    assert "DataFilters: [isnotnull(o_orderdate" in plan
+
+
+def test_latest_event_single_shuffle_for_window(spark):
+    plan = _final_plan(QUERIES["latest_event_per_user"].builder(spark, SF))
+    # one hash-partitioning exchange for the window; the final orderBy
+    # adds a range exchange — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 1
+    # rn = 1 is executed as a group-limit, not a full rank-then-filter
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_signature_single_exchange_no_join(spark):
+    from transit_feed_etl_spark.operators import minhash as MH
+
+    d = table(spark, SF, "documents")
+    plan = _final_plan(MH.minhash_signature(d, "doc_id", "text", 16))
+    # the single-pass formulation: one repartition-by-id exchange feeds
+    # tokenize -> shingle -> explode -> agg; no join, no broadcast, and
+    # the groupBy adds NO second shuffle (pre-partitioned on the key)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
+    # tokenizer evaluated once: exactly one split(lower(...)) projection
+    assert plan.count("split(lower(") == 1
+
+
+def test_exact_dedup_partial_agg(spark):
+    plan = _final_plan(QUERIES["dedup_exact"].builder(spark, SF))
+    # partial+final hash aggregate: the shuffle carries (md5, partial
+    # min/count) — Spark extracts md5(text) into _groupingexpression, so
+    # the exchange key must be that 32-hex-char value, never raw text
+    assert "partial_min" in plan
+    assert re.search(r"Exchange hashpartitioning\(_groupingexpression", plan), plan[:1500]
+
+
+def test_catalog_prune_files_skips_disjoint_bboxes(spark, tmp_path):
+    """bbox file pruning: only files whose catalog bbox intersects the
+    query box are selected (the reference's zone-map, made actionable)."""
+    from transit_feed_etl_spark.pipeline.catalog import FileCatalog
+
+    rows = [(float(i), float(i), f"v{i}", "2024-01-01 00:00:00") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "longitude double, latitude double, vehicle_id string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    root = str(tmp_path / "data")
+    cat = FileCatalog(spark, str(tmp_path / "catalog"))
+    # two files with disjoint bboxes: lon/lat 0-4 and 5-9
+    df.filter("longitude < 5").write.parquet(root + "/a")
+    df.filter("longitude >= 5").write.parquet(root + "/b")
+    cat.append_batch(df.filter("longitude < 5"), 0, root + "/a")
+    cat.append_batch(df.filter("longitude >= 5"), 1, root + "/b")
+    assert cat.prune_files(0.0, 0.0, 4.0, 4.0) == [root + "/a"]
+    assert set(cat.prune_files(0.0, 0.0, 9.0, 9.0)) == {root + "/a", root + "/b"}
+    assert cat.prune_files(20.0, 20.0, 30.0, 30.0) == []

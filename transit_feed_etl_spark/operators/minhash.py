@@ -27,7 +27,8 @@ from transit_feed_etl_spark.operators import textfns as TX
 def minhash_signature(
     docs: DataFrame, id_col: str, text_col: str, n_hashes: int = 64
 ) -> DataFrame:
-    """(id, shingle-set, signature array) — one row per doc.
+    """(id, shingle-set, signature array) — one row per doc that has at
+    least one shingle (shorter docs cannot be near-dup candidates).
 
     Signature k = MIN over shingles of xxhash64(k, shingle). Computed as
     n_hashes partial-aggregatable min() columns over the exploded shingle
@@ -56,15 +57,20 @@ def minhash_signature(
     # Inner explode drops empty arrays natively — no size() pre-filter,
     # which would force a second evaluation of the shingle expression.
     exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    # ONE aggregation recovers both the shingle set (collect_set) and the
+    # 64 mins — a join back to the un-exploded relation would recompute
+    # the whole tokenize+shingle branch a second time (ReuseExchange is
+    # defeated by the join's inferred isnotnull filter; verified in the
+    # physical plan). Docs with zero shingles (< n tokens) are absent by
+    # construction — they cannot be near-dup candidates.
     mins = [
         F.min(F.xxhash64(F.lit(k), F.col("_s"))).alias(f"_h{k}")
         for k in range(n_hashes)
     ]
-    sig = exploded.groupBy("_id").agg(*mins).select(
-        "_id", F.array(*[f"_h{k}" for k in range(n_hashes)]).alias("_sig")
-    )
-    return sh.join(sig, "_id", "left").select(
-        "_id", "_sh", F.coalesce("_sig", F.array().cast("array<bigint>")).alias("_sig")
+    return (
+        exploded.groupBy("_id")
+        .agg(F.collect_set("_s").alias("_sh"), *mins)
+        .select("_id", "_sh", F.array(*[f"_h{k}" for k in range(n_hashes)]).alias("_sig"))
     )
 
 
@@ -101,10 +107,8 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    e = (
-        sigs.filter(F.size("_sig") > 0)
-        .select("_id", band_keys.alias("_bk"))
-        .select("_id", F.posexplode("_bk").alias("_band", "_bkey"))
+    e = sigs.select("_id", band_keys.alias("_bk")).select(
+        "_id", F.posexplode("_bk").alias("_band", "_bkey")
     )
     a, b = e.alias("a"), e.alias("b")
     candidates = (
@@ -155,7 +159,11 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias(f"_v{j}")
         for j in range(64)
     ]
-    agg = e.groupBy("doc_id").agg(*votes)
+    # Single-pass aggregation: count(1) over the exploded DISTINCT tokens
+    # equals size(_t), so no join back to the token relation is needed
+    # (that join would re-tokenize every document a second time).
+    # Token-less docs are absent — they carry no SimHash signal.
+    agg = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"), *votes)
     bits: list[Column] = [
         F.when(F.col(f"_v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
             F.lit(0).cast("long")
@@ -163,10 +171,7 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for j in range(64)
     ]
     fingerprint = reduce(lambda x, y: x.bitwiseOR(y), bits)
-    sig = agg.select("doc_id", fingerprint.alias("simhash"))
-    return toks.select("doc_id", F.size("_t").alias("n_tokens")).join(
-        sig, "doc_id", "left"
-    ).select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"), "n_tokens")
+    return agg.select("doc_id", fingerprint.alias("simhash"), F.col("n_tokens").cast("int").alias("n_tokens"))
 
 
 def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
