@@ -10,6 +10,8 @@ in ``df.explain("formatted")``).
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,9 +29,15 @@ TABLES = (
 )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+# DataFrame plans are immutable, so the loaded frame for a given
+# (sf_dir, name) can be shared across queries within one session. The
+# memo removes the per-build parquet footer/schema read (~0.2 s per
+# table() call) and the table_par partition probe (~0.15 s) — fixed
+# driver-side latency that would otherwise tax EVERY query build.
+_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects. Read nanos as long, then truncate to microseconds —
@@ -43,6 +51,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    per = _CACHE.setdefault(spark, {})
+    key = (sf_dir, name, "raw")
+    if key not in per:
+        per[key] = _load(spark, sf_dir, name)
+    return per[key]
+
+
 def table_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Like :func:`table`, but guarantees the scan feeds at least
     ``defaultParallelism`` partitions.
@@ -54,11 +72,15 @@ def table_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     On a real cluster the input split count already exceeds parallelism and
     this becomes a no-op (guarded, no shuffle is added).
     """
-    df = table(spark, sf_dir, name)
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+    per = _CACHE.setdefault(spark, {})
+    key = (sf_dir, name, "par")
+    if key not in per:
+        df = table(spark, sf_dir, name)
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        per[key] = df
+    return per[key]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

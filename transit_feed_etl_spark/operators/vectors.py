@@ -1,14 +1,23 @@
 """Vector/embedding column builders (EXT similarity-search operators).
 
-All dense-vector math is expressed with Spark higher-order array
-functions (zip_with / transform / aggregate) — JVM-side, codegen'd,
-no Python UDFs. Arrays are cast to array<double> first so arithmetic
-matches the DuckDB oracle's DOUBLE[] computation op-for-op.
+Two tiers:
+
+- Per-pair scalar math (dot / l2_norm / cosine) as Spark higher-order
+  array functions (zip_with / transform / aggregate) — JVM-side, no
+  Python, accumulation order identical to the DuckDB oracle's
+  list_sum(list_transform(...)). Right for small pair volumes
+  (broadcast top-k with a handful of query vectors).
+- Blocked all-pairs scoring (`blocked_cosine_pairs`) as an
+  applyInPandas numpy kernel: the O(n^2) pair space is tiled into
+  block-pairs, each task scores one tile with a BLAS gram matrix.
+  Per-pair HOF folds are interpreted per element and materialize both
+  vectors per pair; the blocked kernel ships each vector to at most
+  n_blocks tasks and does the quadratic work inside matrix multiply.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,6 +46,98 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def blocked_cosine_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_raw_score: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine >= min_raw_score as a blocked self-join:
+    ``(id_a, id_b, cos_raw)`` with ``id_a < id_b``.
+
+    Scale design (the 100 TB posture for quadratic similarity):
+
+    - each vector is assigned a block by hashing its id; every unordered
+      block pair (i, j) becomes ONE task that receives only blocks i and
+      j (each row is replicated to n_blocks groups — O(n * n_blocks)
+      shuffle instead of the O(n^2) row stream a pair-join materializes);
+    - inside a task the tile is scored as a single float64 gram matrix
+      (numpy/BLAS), so the quadratic work runs at memory bandwidth
+      instead of per-pair expression interpretation;
+    - per-task memory is (2n/n_blocks) vectors + one tile of scores:
+      raise n_blocks ~ n/rows_per_block to bound it; task count grows as
+      n_blocks^2/2, which is exactly the shape a 1000-executor cluster
+      wants.
+
+    Emits the RAW float64 score (numpy dot; differs from a sequential
+    fold only by ~1e-15 summation-order noise). Callers needing oracle-
+    exact decimal rounding apply ``F.round`` on the JVM side — Spark's
+    round is exact HALF_UP on the binary double, while ``np.round`` is
+    half-to-even, so rounding must NOT happen in the kernel. Pass the
+    threshold minus a small slack so boundary pairs survive into the
+    exact rounded filter.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_b"),
+    )
+    # row in block b participates in every tile {min(b,c), max(b,c)}
+    tile_keys = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least("_b", F.lit(c)).alias("i"),
+                    F.greatest("_b", F.lit(c)).alias("j"),
+                )
+                for c in range(n_blocks)
+            ]
+        )
+    )
+    rep = v.select("_id", "_v", "_b", F.explode(tile_keys).alias("_k")).select(
+        "_id", "_v", "_b", F.col("_k.i").alias("_i"), F.col("_k.j").alias("_j")
+    )
+
+    def _block(sub: pd.DataFrame):
+        ids = sub["_id"].to_numpy()
+        m = np.stack(sub["_v"].to_numpy()).astype(np.float64, copy=False)
+        return ids, m, np.sqrt(np.einsum("ij,ij->i", m, m))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []})
+        i, j = int(pdf["_i"].iloc[0]), int(pdf["_j"].iloc[0])
+        if i == j:
+            ids, m, nrm = _block(pdf)
+            if len(ids) < 2:
+                return empty
+            s = (m @ m.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a, b, sc = ids[iu], ids[ju], s[iu, ju]
+        else:
+            pa, pb = pdf[pdf["_b"] == i], pdf[pdf["_b"] == j]
+            if pa.empty or pb.empty:
+                return empty
+            ia, ma, na = _block(pa)
+            ib, mb, nb = _block(pb)
+            s = (ma @ mb.T) / np.outer(na, nb)
+            a = np.repeat(ia, len(ib))
+            b = np.tile(ib, len(ia))
+            sc = s.ravel()
+        keep = sc >= min_raw_score
+        a, b, sc = a[keep], b[keep], sc[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cos_raw": sc}
+        )
+
+    return rep.groupBy("_i", "_j").applyInPandas(
+        score, "id_a long, id_b long, cos_raw double"
+    )
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:

