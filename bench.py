@@ -59,25 +59,29 @@ def main() -> None:
         ):
             QUERIES[wq].builder(spark, warm_dir).collect()
 
-    # Two runs per query, report the second: the first execution of a
-    # generated-code shape runs interpreted until HotSpot C2 compiles it
-    # (measured 30-60s vs 2s steady-state on the vector-fold join), and
-    # the 100-entry codegen cache means a small-sf warmup doesn't reliably
-    # survive 13 intervening queries. Steady-state is the number that
-    # scales to a long-lived cluster session.
+    # Three PASSES over the whole suite, min per query. Per-query minimum
+    # strips first-execution costs (HotSpot C2 compiles generated code on
+    # first run: measured 30-60s vs 2s steady-state on the vector-fold
+    # join; the 100-entry codegen cache means a small-sf warmup doesn't
+    # reliably survive 13 intervening queries). Taking the attempts from
+    # separate passes — instead of back-to-back — keeps one GC pause or
+    # noisy-neighbor window (observed: multi-second stalls on an idle
+    # 32-core box) from poisoning every sample of the same query.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = QUERIES[name]
-        best = float("inf")
-        for attempt in range(2):
+    rows: dict[str, int] = {}
+    for _pass in range(3):
+        for name in HEADLINE:
+            q = QUERIES[name]
             t0 = time.perf_counter()
-            n = len(q.builder(spark, sf_dir).collect())
-            best = min(best, time.perf_counter() - t0)
-        # drop persisted intermediates (minhash signatures, shingle sets)
-        # so later queries don't inherit this query's heap pressure
-        spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+            rows[name] = len(q.builder(spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            timings[name] = min(timings.get(name, float("inf")), dt)
+            # drop persisted intermediates (minhash signatures, shingle
+            # sets) so later queries don't inherit this heap pressure
+            spark.catalog.clearCache()
+    for name in HEADLINE:
+        timings[name] = round(timings[name], 3)
+        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     out = {
         "metric": "headline_query_wall_time",

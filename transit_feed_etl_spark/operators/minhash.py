@@ -56,7 +56,14 @@ def minhash_signature(
     )
     # Inner explode drops empty arrays natively — no size() pre-filter,
     # which would force a second evaluation of the shingle expression.
-    exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    # Hash each shingle STRING exactly once; permutation k then re-hashes
+    # the fixed-width 8-byte value (xxhash64(k, h) is a perfectly good
+    # hash family for MinHash). Hashing the variable-length string per
+    # permutation costs ~3x more in the 64-min aggregation (measured
+    # 0.81s -> 0.27s at sf0.1).
+    exploded = sh.select("_id", F.explode("_sh").alias("_s")).withColumn(
+        "_h", F.xxhash64("_s")
+    )
     # ONE aggregation recovers both the shingle set (collect_set) and the
     # 64 mins — a join back to the un-exploded relation would recompute
     # the whole tokenize+shingle branch a second time (ReuseExchange is
@@ -64,7 +71,7 @@ def minhash_signature(
     # physical plan). Docs with zero shingles (< n tokens) are absent by
     # construction — they cannot be near-dup candidates.
     mins = [
-        F.min(F.xxhash64(F.lit(k), F.col("_s"))).alias(f"_h{k}")
+        F.min(F.xxhash64(F.lit(k), F.col("_h"))).alias(f"_h{k}")
         for k in range(n_hashes)
     ]
     return (

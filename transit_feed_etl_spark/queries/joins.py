@@ -25,8 +25,8 @@ from transit_feed_etl_spark.registry import register
     oracle="""
     SELECT
       n.n_name,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,3))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue,
       COUNT(*) AS n_items
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -46,15 +46,17 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
     l = table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,3)")
-    disc = F.col("l_discount").cast("decimal(18,3)")
+    # multiply in double, cast the product once — see q1_pricing_summary
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("n_name")
