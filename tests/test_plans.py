@@ -89,6 +89,17 @@ def test_exact_dedup_partial_agg(spark):
     assert re.search(r"Exchange hashpartitioning\(_groupingexpression", plan), plan[:1500]
 
 
+def test_salted_count_distinct_spreads_hot_key(spark):
+    plan = _final_plan(QUERIES["salted_distinct_users_by_type"].builder(spark, SF))
+    # phase-1 exchanges are keyed on (event_type, salt) — Spark extracts
+    # the pmod(xxhash64(user_id),16) salt into _groupingexpression — so
+    # the hot key's distinct work lands on n_salts reducers, not one
+    m = re.search(r"Exchange hashpartitioning\(event_type#\d+, _groupingexpression", plan)
+    assert m, plan[:2000]
+    # every phase stays combinable (partial agg before each shuffle)
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
 def test_catalog_prune_files_skips_disjoint_bboxes(spark, tmp_path):
     """bbox file pruning: only files whose catalog bbox intersects the
     query box are selected (the reference's zone-map, made actionable)."""

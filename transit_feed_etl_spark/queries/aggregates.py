@@ -54,6 +54,30 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_distinct_users_by_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) under key skew, via hash-salting
+    (operators/skew.py): salt = pmod(xxhash64(user_id), 16) spreads the
+    hottest event_type's distinct-set over 16 reducer tasks; per-bucket
+    counts are disjoint so their sum is exact. The result is identical
+    to plain countDistinct — which is exactly why it is oracle-checkable
+    — but the plan has no single-reducer hot key at 100 TB."""
+    from transit_feed_etl_spark.operators.skew import salted_count_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return salted_count_distinct(
+        ev, ["event_type"], "user_id", n_salts=16
+    ).orderBy("event_type")
+
+
 @register("approx_distinct_users", oracle=None)  # HLL sketch: engine-specific -> rows-only
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for

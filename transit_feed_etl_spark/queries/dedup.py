@@ -158,6 +158,19 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register("simhash_neardup_pairs", oracle=None)  # xxhash64-based: engine-specific
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints -> pigeonhole banding
+    on 4 x 16-bit chunks (any pair within Hamming distance 3 shares at
+    least one exact chunk, so the banding join loses NOTHING at the
+    max_hamming=3 cut — completeness asserted in tests/test_dedup.py) ->
+    exact popcount verification on candidates only. Rows-only driver
+    check (fingerprints are engine-specific)."""
+    d = table(spark, sf_dir, "documents")
+    fps = MH.simhash(d, id_col="doc_id", text_col="text")
+    return MH.simhash_pairs(fps, max_hamming=3).orderBy("id_a", "id_b")
+
+
 @register("simhash_fingerprints", oracle=None)  # xxhash64-based: engine-specific
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (token-level): sign-aggregated bit
