@@ -79,9 +79,7 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "neardup_jaccard_pairs",
-    oracle=f"""
+_JACCARD_PAIRS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     e AS (
       SELECT doc_id, UNNEST(sh) AS s FROM sh WHERE LEN(sh) > 0
@@ -100,8 +98,10 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.35
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@register("neardup_jaccard_pairs", oracle=_JACCARD_PAIRS_SQL)
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup join: distinct word-3-gram shingle
     sets, pair intersection via shingle self-join, Jaccard >= 0.35.
@@ -143,14 +143,20 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_lsh_candidates", oracle=None)  # xxhash64 buckets: engine-specific
+@register("minhash_lsh_candidates", oracle=_JACCARD_PAIRS_SQL)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline (the 100 TB path): 64-perm MinHash
     signatures -> 16 bands x 4 rows -> band-bucket join for candidates ->
     exact Jaccard verification >= 0.35 on candidates only.
-    Driver check is rows-only (bucket hashes are engine-specific);
-    tests/test_dedup.py checks recall == 1.0 vs `neardup_jaccard_pairs`
-    at this threshold on the testdata."""
+
+    Oracle: the exact-Jaccard SQL. LSH candidate generation is
+    probabilistic by construction, but after the exact verification the
+    output is (exact pairs) ∩ (candidates); on this testdata recall is
+    exactly 1.0 at the 0.35 threshold (near-dup pairs sit at high
+    Jaccard, where the 16x4 banding s-curve is ~1), verified at both
+    sf0.001 and the driver's sf0.01 gate — so the value-level
+    differential check is valid here. tests/test_dedup.py asserts the
+    recall==1.0 precondition."""
     # no table_par: minhash_signature hash-partitions by doc_id itself.
     d = table(spark, sf_dir, "documents")
     return MH.minhash_lsh_pairs(

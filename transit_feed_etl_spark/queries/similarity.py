@@ -124,11 +124,51 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", oracle=None)  # LSH buckets: approximate by design
+def _lsh_oracle() -> str:
+    """DuckDB oracle for ann_lsh_topk: the hyperplanes are deterministic
+    driver-side constants, so the bucket assignment (sign projections)
+    and the bucket-restricted top-k are fully SQL-expressible — the ANN
+    path gets a value-level differential check, not just rows-only.
+    repr(float) round-trips binary64, so both engines fold the
+    identical plane literals in the identical order."""
+    planes = _lsh_planes()
+    proj = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        proj.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM} + 1),"
+            f" k -> v[k] * ({arr}::DOUBLE[])[k])) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(proj)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM v),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
+                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
+                   4) AS score
+      FROM q JOIN b c ON c.bucket = q.qb AND c.vec_id <> q.qid
+    )
+    SELECT qid, nid, score, rnk FROM (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: 8-hyperplane sign-LSH -> 256 buckets; each query
-    scores only its own bucket. Rows-only driver check; recall vs the
-    brute-force baseline is asserted in tests/test_similarity.py."""
+    scores only its own bucket. Oracle-checked at value level (the
+    deterministic plane constants are folded into the oracle SQL);
+    recall vs the brute-force baseline is asserted in tests."""
     emb = table_par(spark, sf_dir, "embeddings")
     planes = _lsh_planes()
     v = (
