@@ -119,3 +119,31 @@ def test_catalog_prune_files_skips_disjoint_bboxes(spark, tmp_path):
     assert cat.prune_files(0.0, 0.0, 4.0, 4.0) == [root + "/a"]
     assert set(cat.prune_files(0.0, 0.0, 9.0, 9.0)) == {root + "/a", root + "/b"}
     assert cat.prune_files(20.0, 20.0, 30.0, 30.0) == []
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    plan = _final_plan(QUERIES["exists_high_value_customers"].builder(spark, SF))
+    # correlated EXISTS must become a semi join (one pass over orders),
+    # never a per-row subquery or nested loop
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the totalprice predicate is pushed into the orders scan
+    assert "DataFilters: [isnotnull(o_totalprice" in plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark):
+    plan = _final_plan(QUERIES["not_exists_urgent_order_customers"].builder(spark, SF))
+    assert "LeftAnti" in plan, plan[:2000]
+    # priority filter pushed below the join into the scan
+    assert "1-URGENT" in plan and "PushedFilters" in plan
+
+
+def test_correlated_scalar_becomes_aggregate_join(spark):
+    plan = _final_plan(
+        QUERIES["correlated_scalar_small_qty_revenue"].builder(spark, SF)
+    )
+    # the per-part average is ONE aggregate pass joined back to lineitem,
+    # not a re-executed subquery: exactly one join, partial aggs present
+    assert plan.count("Join") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan

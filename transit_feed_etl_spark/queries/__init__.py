@@ -14,6 +14,7 @@ from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     scalar_funcs,
     setops,
     similarity,
+    subqueries,
     textops,
     time_windows,
     udf_surface,

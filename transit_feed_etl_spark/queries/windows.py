@@ -179,7 +179,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    epoch_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch_s - F.lag(epoch_s).over(w)
     is_new = F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0))
     return (
         ev.withColumn("is_new", is_new)
@@ -215,7 +216,7 @@ def range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
         .rangeBetween(-3600, W.currentRow)
     )
     return ev.select(
