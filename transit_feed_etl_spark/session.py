@@ -52,6 +52,13 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The generated-class cache defaults to 100 entries; a suite run
+        # compiles well over that (wide multi-agg and 64-permutation hash
+        # plans generate several classes each), so hot plans get evicted
+        # and re-pay Janino + HotSpot compilation on every repetition
+        # (measured: 8-20s re-compile vs ~2s steady-state on the LSH
+        # pipeline). Static conf — must be set before the first session.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
