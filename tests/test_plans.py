@@ -147,3 +147,39 @@ def test_correlated_scalar_becomes_aggregate_join(spark):
     assert plan.count("Join") >= 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed layout: fact-fact join and bucket-key groupBy
+    both run with ZERO shuffles — the pay-once-at-write answer to the
+    biggest cost of 100 TB joins."""
+    from transit_feed_etl_spark.io import table
+    from transit_feed_etl_spark.pipeline import bucketing as B
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/wh'")
+    # At test scale the planner would broadcast the small side (which
+    # bypasses bucketed scans entirely); disable auto-broadcast to plan
+    # the fact-fact case bucketing exists for.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        B.write_bucketed(
+            table(spark, SF, "orders"), "bktest.orders_b", ["o_orderkey"], 8,
+            sort_cols=["o_orderkey"],
+        )
+        B.write_bucketed(
+            table(spark, SF, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bktest.lineitem_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        )
+        joined = B.bucketed_join(spark, "bktest.orders_b", "bktest.lineitem_b", ["o_orderkey"])
+        plan = _final_plan(joined)
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucket-keyed aggregation: also exchange-free
+        agg = spark.table("bktest.lineitem_b").groupBy("o_orderkey").count()
+        plan2 = _final_plan(agg)
+        assert "Exchange" not in plan2, plan2[:2000]
+        assert joined.count() == table(spark, SF, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
