@@ -235,3 +235,34 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("int").alias("k_int"),
         F.when(k.isNotNull(), 1).otherwise(0).alias("has_k"),
     ).orderBy("event_id")
+
+
+@register(
+    "map_entry_stats",
+    oracle="""
+    SELECT prop_key, COUNT(*) AS n_events,
+           MIN(val) AS min_val, MAX(val) AS max_val, SUM(val) AS sum_val
+    FROM (
+      SELECT t.prop_key,
+             CAST(json_extract(e.props, '$.' || t.prop_key) AS INTEGER) AS val
+      FROM events e, unnest(json_keys(e.props)) AS t(prop_key)
+    )
+    GROUP BY prop_key
+    """,
+)
+def map_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed surface (Part B array/map/json row): parse the JSON
+    payload into a real MapType, explode its entries (key generality —
+    no hardcoded key list), aggregate per key. from_json + explode are
+    codegen'd JVM-side; the per-key aggregate is partial-aggregatable,
+    so at 100 TB the shuffle carries one row per (partition, key), not
+    per event."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    e = ev.select(F.explode(m).alias("prop_key", "val"))
+    return e.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum("val").alias("sum_val"),
+    )
