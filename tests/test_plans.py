@@ -183,3 +183,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    plan = _final_plan(QUERIES["range_join_shipments_in_window"].builder(spark, SF))
+    # the binned construction must plan an equi HASH join on the bin id;
+    # a nested loop here would be O(|points| x |intervals|) at scale
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "HashJoin" in plan
+    # the range predicate is applied as a join/filter condition, and the
+    # interval side is exploded via sequence()
+    assert "sequence(" in plan

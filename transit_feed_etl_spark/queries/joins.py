@@ -222,3 +222,40 @@ def full_outer_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "range_join_shipments_in_window",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_shipped
+    FROM (SELECT o_orderkey, o_orderdate, o_orderdate + INTERVAL 7 DAY AS o_end
+          FROM orders WHERE o_totalprice > 450000.0) o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate <= o.o_end
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_shipments_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (interval) join — no equi key: market-wide shipments
+    falling inside each high-value order's first week. Implemented with
+    the binned construction (operators/rangejoin.py): explode intervals
+    to week-wide bins, equi-join points on bin id, exact range filter —
+    a hash join instead of the O(|L| x |R|) nested loop Spark would
+    otherwise plan (asserted in tests/test_plans.py)."""
+    from transit_feed_etl_spark.operators.rangejoin import range_join_binned
+
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.expr("o_orderdate + INTERVAL 7 DAYS").alias("o_end"),
+        )
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_shipdate")
+    joined = range_join_binned(
+        li, orders, point_ts="l_shipdate", start_ts="o_orderdate",
+        end_ts="o_end", bin_width_s=7 * 86400,
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipped"))
