@@ -160,3 +160,44 @@ def test_stateful_anomaly_operator(spark, tmp_path):
     assert out[1]["n_anomalies"] >= 1
     assert out[1]["running_total"] == 502.0
     assert out[2]["n_anomalies"] == 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics (Part B streaming rows): after the watermark
+    passes a window's end, a late-arriving event for that window is
+    DROPPED — append mode emits each finalized window exactly once and
+    never revises it. (The reference's cron-lookback A18 recomputes its
+    1-hour window every run and would silently absorb late rows; the
+    watermark contract makes lateness explicit and state bounded.)"""
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(mode).parquet(str(src))
+
+    # batch 1: window [12:00,12:05) gets one click; 12:30 advances the
+    # watermark to 12:20, finalizing and emitting that window
+    write_batch([(1, t(12, 0), 1, "click", 1.0), (2, t(12, 30), 1, "view", 1.0)], "overwrite")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    agg = windowed_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("late_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt")).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event_id=3 lands in the already-finalized 12:00 window
+        # (late beyond the watermark -> dropped); 12:50 advances the
+        # watermark past 12:30's window so it finalizes with n=1
+        write_batch([(3, t(12, 2), 1, "click", 1.0), (4, t(12, 50), 1, "click", 1.0)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["window_start"].hour, r["window_start"].minute, r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # 12:00 window: n=1 (the late click did NOT bump it to 2);
+    # 12:30 window: n=1; 12:50 window: unfinalized, not emitted
+    assert out == {(12, 0, "click"): 1, (12, 30, "view"): 1}
