@@ -73,3 +73,25 @@ def test_land_as_partitioned_parquet(spark, tmp_path):
     assert pruned.count() == 10
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_sink_roundtrips_csv_json_orc(spark, tmp_path):
+    """Part B 'sinks other than parquet+SQLite': CSV / JSON-lines / ORC
+    writers round-trip values and nulls through their paired readers."""
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, None, None), (3, "gamma", 3.0)], SCHEMA
+    )
+    out = {}
+    FMT.write_csv(df, str(tmp_path / "csv"))
+    out["csv"] = FMT.read_csv(
+        spark, str(tmp_path / "csv"), SCHEMA, quarantine=False,
+        options={"nullValue": "\\N"},
+    )
+    FMT.write_json(df, str(tmp_path / "json"))
+    out["json"] = FMT.read_json(spark, str(tmp_path / "json"), SCHEMA, quarantine=False)
+    FMT.write_orc(df, str(tmp_path / "orc"))
+    out["orc"] = spark.read.orc(str(tmp_path / "orc"))
+    want = {(1, "alpha", 1.5), (2, None, None), (3, "gamma", 3.0)}
+    for fmt, back in out.items():
+        got = {tuple(r) for r in back.select("id", "name", "score").collect()}
+        assert got == want, (fmt, got)

@@ -25,6 +25,7 @@ def read_csv(
     schema: T.StructType,
     header: bool = True,
     quarantine: bool = True,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """CSV scan with explicit schema and malformed-row quarantine: bad
     rows land in `_corrupt` (NULL elsewhere) instead of aborting."""
@@ -39,6 +40,8 @@ def read_csv(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     return reader.csv(path)
 
 
@@ -116,3 +119,22 @@ def to_parquet_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (header on, explicit null token so round-trips preserve
+    NULL vs empty-string). One file per partition — coalesce upstream if
+    the consumer needs a bounded file count."""
+    df.write.mode(mode).option("header", "true").option("nullValue", "\\N").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink. Nulls are dropped per JSON-lines convention;
+    schema travels with the reader contract, not the file."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — Spark-native columnar alternative to parquet, with the
+    same predicate-pushdown/column-pruning behavior at read time."""
+    df.write.mode(mode).orc(path)
