@@ -1,0 +1,188 @@
+"""Property-based tests (SURVEY.md §5 strategy point 4, hypothesis):
+invariants the pipeline promises for ALL inputs, not just fixtures.
+
+- flatten_feed keeps exactly the entities with a vehicle payload and
+  null-guards every optional nested field (reference behaviors at
+  gtfs_rt_assets.py:33,38-46);
+- the batch bbox contains every valid point, and is NULL iff no valid
+  point exists (reference gtfs_rt_assets.py:161-170);
+- salted exact count-distinct equals the unsalted answer for any data,
+  including single-hot-key skew (operators/skew.py's exactness claim);
+- asof_join matches the brute-force per-row definition (most recent
+  right row with ts <= left ts; ties -> largest right id).
+
+Examples are kept small (Spark job per example); the point is shape
+coverage — nulls, duplicates, empty sides, ties — not volume.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transit_feed_etl_spark.operators.asof import asof_join
+from transit_feed_etl_spark.operators.skew import salted_count_distinct
+from transit_feed_etl_spark.pipeline.gtfs import RAW_FEED_SCHEMA, flatten_feed
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# -- strategies ------------------------------------------------------------
+
+_opt_str = st.one_of(st.none(), st.text("abc", min_size=1, max_size=3))
+_opt_coord = st.one_of(st.none(), st.floats(-200, 200, allow_nan=False))
+
+
+@st.composite
+def _entity(draw):
+    has_vehicle = draw(st.booleans())
+    if not has_vehicle:
+        return {"id": draw(_opt_str), "vehicle": None}
+    has_pos = draw(st.booleans())
+    return {
+        "id": draw(_opt_str),
+        "vehicle": {
+            "vehicle": draw(st.one_of(st.none(), st.fixed_dictionaries({"id": _opt_str}))),
+            "position": None
+            if not has_pos
+            else {
+                "latitude": draw(_opt_coord),
+                "longitude": draw(_opt_coord),
+                "speed": draw(_opt_coord),
+                "bearing": draw(_opt_coord),
+            },
+            "trip": draw(
+                st.one_of(
+                    st.none(),
+                    st.fixed_dictionaries({"trip_id": _opt_str, "route_id": _opt_str}),
+                )
+            ),
+            "current_stop_sequence": draw(st.one_of(st.none(), st.integers(0, 50))),
+            "current_status": draw(st.one_of(st.none(), st.integers(0, 2))),
+        },
+    }
+
+
+_TS = datetime(2024, 3, 1, 12, 0, tzinfo=timezone.utc)
+_feed = st.fixed_dictionaries(
+    {
+        "feed_id": st.sampled_from(["mta", "bart"]),
+        "fetch_ts": st.just(_TS),
+        "entity": st.lists(_entity(), max_size=6),
+    }
+)
+
+
+# -- properties ------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(feeds=st.lists(_feed, min_size=1, max_size=4))
+def test_flatten_keeps_exactly_vehicle_entities(spark, feeds):
+    raw = spark.createDataFrame(
+        [(f["feed_id"], f["fetch_ts"], f["entity"]) for f in feeds], RAW_FEED_SCHEMA
+    )
+    flat = flatten_feed(raw).collect()
+    want = sum(1 for f in feeds for e in f["entity"] if e["vehicle"] is not None)
+    assert len(flat) == want
+    # null guards: a missing position/trip yields NULL leaf columns,
+    # never an error or a dropped row
+    for r in flat:
+        assert r["feed_id"] in ("mta", "bart") and r["ts"] is not None
+
+
+@settings(**SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-180, 180, allow_nan=False, width=32)),
+            st.one_of(st.none(), st.floats(-90, 90, allow_nan=False, width=32)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bbox_contains_all_valid_points(spark, pts):
+    df = spark.createDataFrame(
+        [(float(lo) if lo is not None else None, float(la) if la is not None else None)
+         for lo, la in pts],
+        "longitude double, latitude double",
+    )
+    row = df.agg(
+        F.min("longitude").alias("minx"),
+        F.min("latitude").alias("miny"),
+        F.max("longitude").alias("maxx"),
+        F.max("latitude").alias("maxy"),
+    ).collect()[0]
+    lons = [lo for lo, _ in pts if lo is not None]
+    lats = [la for _, la in pts if la is not None]
+    if not lons:
+        assert row["minx"] is None and row["maxx"] is None
+    else:
+        assert all(row["minx"] <= lo <= row["maxx"] for lo in lons)
+    if not lats:
+        assert row["miny"] is None and row["maxy"] is None
+    else:
+        assert all(row["miny"] <= la <= row["maxy"] for la in lats)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["hot", "b", "c"]), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salts=st.sampled_from([1, 3, 16]),
+)
+def test_salted_count_distinct_is_exact(spark, rows, n_salts):
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], "event_type string, user_id long"
+    )
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["event_type"], "user_id", n_salts).collect()
+    }
+    want: dict[str, set] = {}
+    for k, v in rows:
+        want.setdefault(k, set()).add(v)
+    assert got == {k: len(s) for k, s in want.items()}
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)), max_size=15),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    to_ts = lambda s: datetime.fromtimestamp(1_700_000_000 + s * 60, tz=timezone.utc)  # noqa: E731
+    lschema = T.StructType(
+        [
+            T.StructField("key", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    ldf = spark.createDataFrame(
+        [(k, to_ts(s), i) for i, (k, s) in enumerate(left)], lschema
+    )
+    rdf = spark.createDataFrame(
+        [(k, to_ts(s), 1000 + i) for i, (k, s) in enumerate(right)], lschema
+    )
+    out = asof_join(ldf, rdf, on="key", ts_col="ts", left_id="event_id", right_id="event_id")
+    got = {r["event_id"]: r["asof_event_id"] for r in out.collect()}
+    for i, (k, s) in enumerate(left):
+        cands = [
+            (rs, 1000 + j)
+            for j, (rk, rs) in enumerate(right)
+            if rk == k and rs <= s
+        ]
+        want = max(cands)[1] if cands else None  # latest ts, tie -> largest id
+        assert got[i] == want, (i, k, s, cands)
