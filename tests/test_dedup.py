@@ -99,3 +99,43 @@ def test_simhash_pairs_pigeonhole(spark):
         .collect()
     }
     assert got == want
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The prefix principle's efficiency claim: the prefix self-join
+    generates strictly fewer candidate pairs than the naive all-shingle
+    self-join, while the verified output is identical (identity is
+    pinned by the shared oracle in test_oracle_parity)."""
+    from pyspark.sql import Window as W
+
+    from transit_feed_etl_spark.io import table
+    from transit_feed_etl_spark.operators import textfns as TX
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.array_distinct(TX.word_shingles(TX.tokens("text"), 3)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    e = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+
+    def pairs(rel):
+        a, b = rel.alias("a"), rel.alias("b")
+        return (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .distinct()
+            .count()
+        )
+
+    naive = pairs(e.select("doc_id", "s"))
+    freq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = e.join(freq, "s").withColumn(
+        "pos", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(0.35) * F.col("n")) + 1
+    ).select("doc_id", "s")
+    pruned = pairs(prefix)
+    sh.unpersist()
+    assert pruned * 2 < naive, (pruned, naive)  # ~4x observed

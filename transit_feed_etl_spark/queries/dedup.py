@@ -185,3 +185,26 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only driver check; determinism asserted in tests."""
     d = table(spark, sf_dir, "documents")
     return MH.simhash(d, id_col="doc_id", text_col="text").orderBy("doc_id")
+
+
+@register("neardup_jaccard_prefix", oracle=_JACCARD_PAIRS_SQL)
+def neardup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard near-dup join
+    (operators/prefixfilter.py): identical output to
+    `neardup_jaccard_pairs`, but the candidate self-join runs only on
+    each document's rare-first prefix shingles — the hot shingles that
+    make the naive self-join quadratic never join. Recall is 1.0 by the
+    prefix principle (not probabilistic like MinHash-LSH), so this is
+    the exact scale path; same oracle as the naive join."""
+    d = table_par(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    # Persist: the shingle-set relation feeds the frequency agg, the
+    # prefix ranking, and both verification sides (4 plan references).
+    sh = toks.select(
+        "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+    ).persist()
+    from transit_feed_etl_spark.operators.prefixfilter import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        sh, id_col="doc_id", set_col="sh", threshold=0.35
+    ).orderBy("id_a", "id_b")
