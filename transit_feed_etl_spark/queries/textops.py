@@ -10,7 +10,7 @@ sides (identical hex output) so value hashes match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from transit_feed_etl_spark.io import table, table_par
@@ -202,3 +202,63 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         F.round(uniq, 6).alias("uniq_ratio"),
     ).orderBy("doc_id")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL.strip()}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * (LN((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+               AS tfidf
+      FROM tf, n
+      JOIN dfreq ON dfreq.term = tf.term
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    ORDER BY doc_id, term
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring (SURVEY §7 Phase 4): term frequency per doc ×
+    smoothed inverse document frequency, top-3 terms per document.
+    Composition: token explode → (doc,term) count → per-term distinct-doc
+    count (broadcast back — the term dictionary is tiny relative to the
+    corpus) → window top-k. All shuffles are keyed on terms or doc ids,
+    never text; the doc-count scalar joins as a broadcast literal, not a
+    driver-side collect embedded in the plan (re-plans cleanly per
+    sf_dir). Per-row double math (LN, ×) is IEEE-identical across
+    engines, so the oracle hash-matches despite floating point."""
+    d = table_par(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "term")
+    )
