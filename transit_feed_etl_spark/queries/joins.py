@@ -259,3 +259,24 @@ def range_join_shipments_in_window(spark: SparkSession, sf_dir: str) -> DataFram
         end_ts="o_end", bin_width_s=7 * 86400,
     )
     return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipped"))
+
+
+@register(
+    "cross_join_region_pairs",
+    oracle="""
+    SELECT a.r_name AS name_a, b.r_name AS name_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    """,
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian/nested-loop join (Part B "theta / nested-loop"
+    row): unordered region pairs. A pure non-equi condition has no hash
+    key, so Spark plans BroadcastNestedLoopJoin — acceptable ONLY when
+    one side is dimension-tiny (5 rows here); every at-scale non-equi
+    join in this repo routes through the binned range join or a
+    theta-join with an equi component instead."""
+    r = table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("name_a"))
+    b = r.select(F.col("r_name").alias("name_b"))
+    return a.crossJoin(b).filter(F.col("name_a") < F.col("name_b"))
