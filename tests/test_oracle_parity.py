@@ -28,3 +28,23 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = q.builder(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_percentiles_close_to_exact(spark, oracle_sf_dir):
+    """Rows-only query contract: the sketch quantiles must sit within a
+    tight rank-error band of the exact interpolated quantiles."""
+    from transit_feed_etl_spark.queries import QUERIES
+
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["exact_percentiles"].builder(spark, oracle_sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_percentiles"].builder(spark, oracle_sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, e in exact.items():
+        spread = e["vmax"] - e["vmin"] or 1.0
+        for c in ("p50", "p95"):
+            assert abs(approx[k][c] - e[c]) <= 0.02 * spread, (k, c, approx[k][c], e[c])

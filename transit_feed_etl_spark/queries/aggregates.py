@@ -181,8 +181,8 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, both linear interpolation; rounded to 6dp to
     absorb last-ulp interpolation differences). At 100 TB swap to
-    percentile_approx (t-digest-style sketch) — see
-    `approx_percentiles_stream` (rows-only)."""
+    percentile_approx (Greenwald-Khanna sketch) — see
+    `approx_percentiles` (rows-only)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -288,4 +288,25 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
         )
+    )
+
+
+@register("approx_percentiles", oracle=None)  # sketch-based: engine-specific
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (the 100 TB path for quantiles):
+    percentile_approx runs a bounded-memory mergeable Greenwald-Khanna
+    sketch — partial-aggregatable, so the shuffle carries one sketch per
+    (partition, group) instead of every value. accuracy=10000 bounds the
+    rank error at n/10000. Rows-only driver check (DuckDB's
+    approx_quantile is a different sketch); tests/test_oracle_parity.py
+    asserts closeness to the exact interpolated percentiles."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95"),
+            F.count("value").alias("n"),
+        )
+        .orderBy("event_type")
     )
