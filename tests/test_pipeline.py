@@ -190,3 +190,37 @@ def test_catalog_roundtrip_and_checks(spark, tmp_path):
     # pruned scan + residual filter
     df = cat.read_bbox(-75.0, 39.0, -73.9, 40.5)
     assert [r["vehicle_id"] for r in df.collect()] == ["a"]
+
+
+def test_compaction_bounds_files_per_partition(spark, tmp_path):
+    """Small-files compaction (§4 scale requirement): many per-minute
+    files collapse to <= target_files per hour partition, preserving
+    every row."""
+    from transit_feed_etl_spark.pipeline.gtfs import compact_partitions
+
+    rows = [
+        ("f", datetime(2024, 3, 1, 12, m, 0), f"v{m}", 40.0 + m, -74.0, 1.0, 0.0,
+         None, None, None, None)
+        for m in range(12)
+    ]
+    df = with_time_partitions(
+        with_geometry(spark.createDataFrame(rows, VEHICLE_POSITION_SCHEMA))
+    )
+    root = str(tmp_path / "many")
+    # simulate the reference's one-file-per-minute pattern: 12 writes
+    for m in range(12):
+        write_partitioned(df.filter(F.minute("ts") == m), root)
+    files_before = [
+        p for p in (tmp_path / "many").rglob("*.parquet") if p.is_file()
+    ]
+    assert len(files_before) >= 12
+    compact_partitions(spark, root, target_files=2)
+    out = tmp_path / "many_compacted"
+    per_hour: dict[str, int] = {}
+    for p in out.rglob("*.parquet"):
+        if p.is_file():
+            per_hour[str(p.parent)] = per_hour.get(str(p.parent), 0) + 1
+    assert per_hour and all(1 <= n <= 2 for n in per_hour.values()), per_hour
+    back = spark.read.parquet(str(out))
+    assert back.count() == 12
+    assert {r["vehicle_id"] for r in back.collect()} == {f"v{m}" for m in range(12)}

@@ -199,11 +199,21 @@ def write_partitioned(
 
 def compact_partitions(spark, root: str, target_files: int = 1) -> None:
     """Periodic compaction job for the small-files problem: rewrite the
-    dataset with `target_files` per hour partition. Run out-of-band
-    (the reference has no equivalent — §4 scale design requirement)."""
+    dataset with `target_files` files per hour partition. Run out-of-band
+    (the reference has no equivalent — §4 scale design requirement).
+
+    Repartitioning by the partition columns alone would put each hour on
+    exactly ONE writer task (one file per hour regardless of
+    target_files, and a full hour of data through a single task — a
+    straggler at 100 TB); a bounded salt keyed on a stable row hash
+    spreads each hour over exactly `target_files` writer tasks, each of
+    which emits one file for that hour."""
     df = spark.read.parquet(root)
+    salt = F.pmod(F.xxhash64("ts", "vehicle_id"), F.lit(target_files))
     (
-        df.repartition(target_files, "year", "month", "day", "hour")
+        df.withColumn("_salt", salt)
+        .repartition("year", "month", "day", "hour", "_salt")
+        .drop("_salt")
         .write.mode("overwrite")
         .partitionBy("year", "month", "day", "hour")
         .parquet(root + "_compacted")
