@@ -194,3 +194,38 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     # the range predicate is applied as a join/filter condition, and the
     # interval side is exploded via sequence()
     assert "sequence(" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling (the join-side complement to the salted
+    aggregate): one key holding ~90% of the left side must be SPLIT by
+    AQE across tasks — SortMergeJoin(skew=true) — instead of serializing
+    on a single straggler. Thresholds are lowered to make local[8]-sized
+    data look like a 100 TB hot key; the mechanism is identical."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") < 180000, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(2000).select(
+            (F.col("id") % 97).alias("k"), F.col("id").alias("rv")
+        )
+        # the payload must survive into the join (min(length) downstream)
+        # or column pruning shrinks the hot partition below threshold
+        agg = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.min(F.length("pad")).alias("m")
+        )
+        plan = _final_plan(agg)
+        assert "skew=true" in plan, plan[:3000]
+        assert "skewed" in plan  # AQEShuffleRead marks the split reader
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
