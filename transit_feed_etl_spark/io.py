@@ -38,6 +38,11 @@ _CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp semantics contract: every oracle assumes UTC (epoch
+    # casts, date_format, interval comparisons). get_spark() pins this,
+    # but the DRIVER may hand us its own session — pin it here too so
+    # parity never depends on the host JVM's default zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects. Read nanos as long, then truncate to microseconds —
