@@ -48,3 +48,22 @@ def test_approx_percentiles_close_to_exact(spark, oracle_sf_dir):
         spread = e["vmax"] - e["vmin"] or 1.0
         for c in ("p50", "p95"):
             assert abs(approx[k][c] - e[c]) <= 0.02 * spread, (k, c, approx[k][c], e[c])
+
+
+def test_quantized_topk_recall_vs_exact(spark, oracle_sf_dir):
+    """Rows-only query contract: int8-quantized cosine top-5 must agree
+    with the exact float top-5 on >= 90% of neighbor slots."""
+    from transit_feed_etl_spark.queries import QUERIES
+
+    def topk(name):
+        out = {}
+        for r in QUERIES[name].builder(spark, oracle_sf_dir).collect():
+            out.setdefault(r["qid"], set()).add(r["nid"])
+        return out
+
+    exact = topk("cosine_topk_bruteforce")
+    quant = topk("quantized_cosine_topk")
+    assert exact.keys() == quant.keys()
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, (hits, total)

@@ -229,3 +229,11 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_q5_broadcasts_all_dims_single_fact_shuffle(spark):
+    plan = _final_plan(QUERIES["q5_local_supplier_volume"].builder(spark, SF))
+    # six-table join: every dimension side broadcast, the lone shuffled
+    # join is lineitem-orders (fact-fact); no nested loop
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -350,3 +350,45 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").cast("int").alias("q_max"),
         F.floor(err * 1e8).cast("long").alias("max_abs_err_e8"),
     ).orderBy("vec_id")
+
+
+@register("quantized_cosine_topk", oracle=None)  # int8 scores: engine-specific
+def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over int8-QUANTIZED vectors (the compressed 100 TB
+    serving path pairing with `embedding_quantization`): score = integer
+    dot product of quantized arrays rescaled by the two per-vector
+    scales. 4x less memory/broadcast volume than float32 with ~1e-2
+    score error — tests/test_oracle_parity.py asserts recall@5 >= 0.9
+    against the exact `cosine_topk_bruteforce`. Rows-only driver check
+    (quantization rounding is engine-specific)."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-12))
+    qv = F.transform("embedding", lambda x: F.round(xd(x) * F.col("_scale")).cast("int"))
+    v = (
+        emb.withColumn("_scale", scale)
+        .select("vec_id", F.col("_scale").alias("scale"), qv.alias("qv"))
+        .withColumn(
+            "qnrm",
+            F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + xd(x) * xd(x))),
+        )
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("q_qv"),
+        F.col("qnrm").alias("q_qnrm"),
+    )
+    pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    # integer dot product, then one rescale — the scales cancel in cosine
+    idot = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda a, b: xd(a) * xd(b)), F.lit(0.0), lambda a, x: a + x
+    )
+    score = F.round(idot / (F.col("q_qnrm") * F.col("qnrm")), 4)
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )
