@@ -67,3 +67,41 @@ def test_quantized_topk_recall_vs_exact(spark, oracle_sf_dir):
     hits = sum(len(exact[q] & quant[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.9, (hits, total)
+
+
+def test_ann_lsh_recall_vs_exact(spark, oracle_sf_dir):
+    """Rows-contract for the LSH ANN path: multi-table amplification
+    must hold well above the ~2% single-table recall on this corpus
+    (~48% measured for 8 tables x 5 planes at both sf0.001 and sf0.01;
+    the embeddings are near-random, which is the hardest case)."""
+    from transit_feed_etl_spark.queries import QUERIES
+
+    def topk(name):
+        out = {}
+        for r in QUERIES[name].builder(spark, oracle_sf_dir).collect():
+            out.setdefault(r["qid"], set()).add(r["nid"])
+        return out
+
+    exact = topk("cosine_topk_bruteforce")
+    ann = topk("ann_lsh_topk")
+    hits = sum(len(exact[q] & ann.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.4, (hits, total)
+
+
+def test_hll_distinct_close_to_exact(spark, oracle_sf_dir):
+    """Rows-contract for approx_count_distinct: HLL++ at rsd=0.02 must
+    land within 5% of the exact distinct count per group."""
+    from transit_feed_etl_spark.queries import QUERIES
+
+    exact = {
+        r["event_type"]: r["n_distinct"]
+        for r in QUERIES["salted_distinct_users_by_type"].builder(spark, oracle_sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"].builder(spark, oracle_sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= 0.05 * exact[k], (k, approx[k], exact[k])

@@ -153,3 +153,27 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def multitable_codes(vec: Column, planes: list[list[float]], k: int) -> Column:
+    """Multi-table sign-LSH codes: `planes` is split into L = len/k
+    tables of k hyperplanes; code t = (t << 8) | k-bit signature. A pair
+    is a candidate iff ANY table code matches — boosting recall from
+    p^k (single table) to 1-(1-p^k)^L, the standard LSH amplification.
+    The t<<8 offset keeps codes from different tables disjoint so a flat
+    array + equi-join on the exploded code implements per-table
+    matching."""
+    n_tables = len(planes) // k
+    codes = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for j in range(k):
+            p = planes[t * k + j]
+            proj = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        codes.append((F.lit(t * 256) + bucket).cast("int"))
+    return F.array(*codes)
