@@ -29,12 +29,33 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
 
 
+def _kind(dtype) -> str:
+    """Type family for the typed-hash gate: the driver hashes values WITH
+    their types, so spark 1.0 (double) vs oracle 1 (tinyint) is a driver
+    hash-fail even though Python == says equal (r1 postmortem:
+    math_functions / map_entry_stats). Width differences (int32 vs int64)
+    hash identically; family differences (int vs float) do not."""
+    k = getattr(dtype, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts"}.get(k, "obj")
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, float_exact: bool = True) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []
     sp = spark_df.toPandas()
     if sorted(sp.columns) != sorted(oracle_df.columns):
         problems.append(f"columns differ: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}")
+        return problems
+    for c in sorted(sp.columns):
+        ks, ko = _kind(sp[c].dtype), _kind(oracle_df[c].dtype)
+        # all-NULL columns surface as object/float — only flag when both
+        # sides carry a definite, different numeric family
+        if ks != ko and "obj" not in (ks, ko):
+            problems.append(
+                f"col {c}: type family differs (spark {sp[c].dtype}={ks} "
+                f"vs oracle {oracle_df[c].dtype}={ko}) — driver typed-hash would fail"
+            )
+    if problems:
         return problems
     if len(sp) != len(oracle_df):
         problems.append(f"row count differs: spark={len(sp)} oracle={len(oracle_df)}")

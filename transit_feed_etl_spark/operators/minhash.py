@@ -21,6 +21,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from transit_feed_etl_spark.caching import persist_tracked
 from transit_feed_etl_spark.operators import textfns as TX
 
 
@@ -102,8 +103,9 @@ def minhash_lsh_pairs(
     # materialization Spark recomputes the whole tokenize+shingle+64-agg
     # subtree per reference (measured 60s vs 9s at sf0.1). persist() is the
     # cluster-correct answer too: signatures are ~n_docs x (64x8B + shingle
-    # set) — MEMORY_AND_DISK spills gracefully at 100 TB scale.
-    sigs = minhash_signature(docs, id_col, text_col, n_hashes).persist()
+    # set) — MEMORY_AND_DISK spills gracefully at 100 TB scale. Tracked:
+    # callers release via caching.release_caches() after materializing.
+    sigs = persist_tracked(minhash_signature(docs, id_col, text_col, n_hashes))
 
     band_keys = F.array(
         *[

@@ -51,8 +51,13 @@ def jaccard_prefix_pairs(
     ranked = e.join(freq, "_s").withColumn(
         "_pos", F.row_number().over(W.partitionBy("_id").orderBy("_df", "_s"))
     )
+    # epsilon guards double rounding in t*n: if the product lands an ulp
+    # above the true integer, ceil would overshoot and shorten the prefix,
+    # silently dropping pairs. Erring long only adds candidates — recall
+    # stays 1.0 by construction.
     prefix = ranked.filter(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
     ).select("_id", "_s")
 
     a, b = prefix.alias("a"), prefix.alias("b")

@@ -163,6 +163,16 @@ def multitable_codes(vec: Column, planes: list[list[float]], k: int) -> Column:
     The t<<8 offset keeps codes from different tables disjoint so a flat
     array + equi-join on the exploded code implements per-table
     matching."""
+    if len(planes) % k != 0:
+        raise ValueError(
+            f"len(planes)={len(planes)} must be a multiple of k={k}; "
+            "leftover hyperplanes would be silently dropped"
+        )
+    if k > 8:
+        raise ValueError(
+            f"k={k} > 8: the t*256 table offset only keeps {2**k}-wide "
+            "codes disjoint across tables for k <= 8"
+        )
     n_tables = len(planes) // k
     codes = []
     for t in range(n_tables):

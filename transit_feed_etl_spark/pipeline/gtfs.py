@@ -206,8 +206,11 @@ def compact_partitions(spark, root: str, target_files: int = 1) -> None:
     exactly ONE writer task (one file per hour regardless of
     target_files, and a full hour of data through a single task — a
     straggler at 100 TB); a bounded salt keyed on a stable row hash
-    spreads each hour over exactly `target_files` writer tasks, each of
-    which emits one file for that hour."""
+    spreads each hour over AT MOST `target_files` writer tasks. The
+    bound is <=, not ==: hash-partitioning on (hour cols, salt) can land
+    two distinct salts of one hour in the same shuffle partition, whose
+    writer then emits a single merged file — fine for compaction, whose
+    contract is an upper bound on file count, not an exact fan-out."""
     df = spark.read.parquet(root)
     salt = F.pmod(F.xxhash64("ts", "vehicle_id"), F.lit(target_files))
     (

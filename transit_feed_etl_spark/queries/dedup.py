@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transit_feed_etl_spark.caching import persist_tracked
 from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.operators import minhash as MH
 from transit_feed_etl_spark.operators import textfns as TX
@@ -116,9 +117,12 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the shingle-set relation: it feeds `sizes` (used on both
     # broadcast sides) and both sides of the shingle self-join — four plan
     # references that would otherwise each re-run tokenize+shingle.
-    sh = toks.select(
-        "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
-    ).persist()
+    # Tracked cache: released via caching.release_caches() post-action.
+    sh = persist_tracked(
+        toks.select(
+            "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+        )
+    )
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     # Inner explode drops empty arrays natively — no size() pre-filter.
     e = sh.select("doc_id", F.explode("sh").alias("s"))
@@ -200,9 +204,12 @@ def neardup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", TX.tokens("text").alias("toks"))
     # Persist: the shingle-set relation feeds the frequency agg, the
     # prefix ranking, and both verification sides (4 plan references).
-    sh = toks.select(
-        "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
-    ).persist()
+    # Tracked cache: released via caching.release_caches() post-action.
+    sh = persist_tracked(
+        toks.select(
+            "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+        )
+    )
     from transit_feed_etl_spark.operators.prefixfilter import jaccard_prefix_pairs
 
     return jaccard_prefix_pairs(

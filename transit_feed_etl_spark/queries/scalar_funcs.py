@@ -177,7 +177,8 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(LN(value + 1.0), 6) AS v_log1p,
       ROUND(POWER(value, 2.0), 6) AS v_sq,
       CAST(TRUNC(value) AS INT) AS v_int,  -- DuckDB int-cast rounds; Spark truncates
-      SIGN(value - 10.0) AS v_sign,
+      -- DuckDB SIGN -> TINYINT, Spark signum -> DOUBLE: align on INT
+      CAST(SIGN(value - 10.0) AS INT) AS v_sign,
       GREATEST(value, 5.0) AS v_hi,
       LEAST(value, 5.0) AS v_lo,
       MOD(user_id, 7) AS user_mod
@@ -203,7 +204,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(v + 1.0), 6).alias("v_log1p"),
         F.round(F.pow(v, 2.0), 6).alias("v_sq"),
         v.cast("int").alias("v_int"),
-        F.signum(v - 10.0).alias("v_sign"),
+        F.signum(v - 10.0).cast("int").alias("v_sign"),
         F.greatest(v, F.lit(5.0)).alias("v_hi"),
         F.least(v, F.lit(5.0)).alias("v_lo"),
         (F.col("user_id") % 7).alias("user_mod"),
@@ -241,7 +242,9 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_entry_stats",
     oracle="""
     SELECT prop_key, COUNT(*) AS n_events,
-           MIN(val) AS min_val, MAX(val) AS max_val, SUM(val) AS sum_val
+           MIN(val) AS min_val, MAX(val) AS max_val,
+           -- DuckDB SUM(INTEGER) -> HUGEINT, Spark sum(int) -> BIGINT: align
+           CAST(SUM(val) AS BIGINT) AS sum_val
     FROM (
       SELECT t.prop_key,
              CAST(json_extract(e.props, '$.' || t.prop_key) AS INTEGER) AS val

@@ -21,6 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from transit_feed_etl_spark.caching import persist_tracked
 from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.operators import vectors as V
 from transit_feed_etl_spark.registry import register
@@ -283,13 +284,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_c = F.round(V.cosine(F.col("v"), F.col("cv")), 6)
     wa = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     # persist: the assignment (cross join + window) feeds both the cells
-    # and probes branches — without it the whole subtree runs twice
-    asg = (
+    # and probes branches — without it the whole subtree runs twice.
+    # Tracked cache: released via caching.release_caches() post-action.
+    asg = persist_tracked(
         v.join(F.broadcast(seeds))
         .select("vec_id", "v", "cid", cos_c.alias("cos_c"))
         .withColumn("rn", F.row_number().over(wa))
         .drop("v")
-        .persist()
     )
     # Unique column names per relation before the joins: cells/probes/q
     # all descend from the same scan, and attribute-by-DataFrame references
