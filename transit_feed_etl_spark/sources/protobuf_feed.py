@@ -1,14 +1,17 @@
 """GTFS-realtime protobuf adapter (A3 decode path, reference
-gtfs_rt_assets.py:26-49). Optional: the gtfs-realtime bindings
-(google.transit) are not in the runtime image, so both the driver-side
-parser and the distributed `from_protobuf` path are gated behind
-import-try; tests use the JSON/struct-shaped fixtures instead
-(FIXTURES.md F2 — semantics identical, no descriptor file needed).
+gtfs_rt_assets.py:26-49). The byte path is ALWAYS available: when the
+gtfs-realtime bindings (google.transit) are installed they are used;
+otherwise `sources/gtfs_wire.py` decodes the FeedMessage directly from
+the public protobuf wire format — no descriptor file, no dependency.
+JSON/struct-shaped fixtures (FIXTURES.md F2) remain the streaming spool
+shape; both paths land in the identical RAW_FEED_SCHEMA.
 """
 
 from __future__ import annotations
 
 from datetime import datetime
+
+from transit_feed_etl_spark.sources import gtfs_wire
 
 try:  # pragma: no cover — not present in the v1 image
     from google.transit import gtfs_realtime_pb2
@@ -26,10 +29,12 @@ def parse_feed_message(payload: bytes, feed_id: str, fetch_ts: datetime) -> dict
     null-guarding itself happens downstream in flatten_feed, which maps
     absent sub-messages to NULL structs."""
     if not HAVE_GTFS_PB:
-        raise NotImplementedError(
-            "google.transit bindings not installed; use the JSON spool shape "
-            "(FIXTURES.md F2) or install gtfs-realtime-bindings"
-        )
+        decoded = gtfs_wire.decode_feed_message(payload)
+        return {
+            "feed_id": feed_id,
+            "fetch_ts": fetch_ts.strftime("%Y-%m-%dT%H:%M:%S"),
+            "entity": decoded["entity"],
+        }
     msg = gtfs_realtime_pb2.FeedMessage()
     msg.ParseFromString(payload)
     entities = []
@@ -80,7 +85,7 @@ def parse_feed_message(payload: bytes, feed_id: str, fetch_ts: datetime) -> dict
 
 def read_binary_feeds(spark, path: str):
     """Distributed raw-payload scan: pre-fetched .pb files as binary rows
-    (path, modificationTime, content). Decode via from_protobuf with a
-    descriptor file, or mapInPandas + parse_feed_message when bindings
-    exist. Parity path for A1 at scale."""
+    (path, modificationTime, content). For decoded rows use
+    ``gtfs_wire.decode_feed_files`` (mapInPandas over this scan, one
+    RAW_FEED_SCHEMA row per file). Parity path for A1 at scale."""
     return spark.read.format("binaryFile").load(path)
