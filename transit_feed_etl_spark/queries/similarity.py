@@ -378,6 +378,207 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_KM_ITERS = 3
+_KM_CELLS = 16
+
+
+def _kmeans_oracle(iters: int = _KM_ITERS, cells: int = _KM_CELLS) -> str:
+    """DuckDB oracle for ivf_kmeans_topk with the k-means TRAINING
+    unrolled as a CTE chain — the full Lloyd iteration is value-level
+    differential-checked, not just the final search.
+
+    Cross-engine determinism: centroid means go through DECIMAL(25,15)
+    sums (order-independent, registry.py contract), cosine similarities
+    are sequential 1..64 folds rounded to 6dp, and argmin ties break on
+    cid ASC — every iteration is bit-identical in both engines, so the
+    trained centroids (and hence the ANN result) hash-match."""
+    cos = _COS6
+    mean = (
+        "CAST(SUM(CAST({v} AS DECIMAL(25,15))) AS DOUBLE) / COUNT(*)"
+    )
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {cells})",
+    ]
+    for it in range(iters):
+        prev, cur = f"c{it}", f"c{it + 1}"
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos.format(a="v.v", b="c.cv")} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""{cur} AS (
+      SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(mean ORDER BY dim) AS cv
+        FROM (
+          SELECT a.cid, t.dim, {mean.format(v="v.v[t.dim]")} AS mean
+          FROM a{it} a JOIN v ON v.vec_id = a.vec_id
+          CROSS JOIN (SELECT CAST(range AS INT) AS dim
+                      FROM range(1, {EMB_DIM} + 1)) t
+          GROUP BY a.cid, t.dim
+        )
+        GROUP BY cid
+      ) m ON m.cid = p.cid
+    )"""
+        )
+    final = f"c{iters}"
+    return f"""
+    WITH {", ".join(parts)},
+    asg AS (
+      SELECT vec_id, cid, rn FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos.format(a="v.v", b="c.cv")} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN {final} c
+      ) WHERE rn <= 2
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cid AS probe_cell FROM asg
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT p.qid, c.vec_id AS nid,
+             {cos.format(a="q.v", b="c.v")} AS score
+      FROM probes p
+      JOIN v q      ON q.vec_id = p.qid
+      JOIN cells ce ON ce.cell = p.probe_cell
+      JOIN v c      ON c.vec_id = ce.vec_id AND c.vec_id <> p.qid
+    )
+    SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """
+
+
+def kmeans_train(
+    v: DataFrame, iters: int, n_cells: int = _KM_CELLS, dim: int = EMB_DIM
+) -> DataFrame:
+    """Deterministic Lloyd training over an embedding frame (vec_id, v):
+    seeds = the n_cells lowest-id vectors, `iters` iterations, returns
+    (cid, cv). iters=0 returns the raw seeds (the untrained quantizer).
+
+    Scale design: each iteration is (a) a broadcast of the n_cells-row
+    centroid table + map-side argmax — no shuffle of the corpus — and
+    (b) a (cell, dim)-keyed partial aggregate whose shuffle carries
+    n_cells x dim decimal sums per partition, not vectors. Iterations
+    are a driver-side loop over DataFrames (k-means|| would drop in for
+    larger k); the centroids stay a DataFrame — nothing collects.
+    Centroid means use order-independent DECIMAL sums so the training
+    run is bit-identical to the unrolled-SQL oracle in _kmeans_oracle —
+    the training itself is differential-tested, which a literals-folded
+    oracle could not do."""
+    spark = v.sparkSession
+    cent = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dims = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("dim"))
+    for _ in range(iters):
+        asg = _ivf_assign(v, cent, nprobe=1)
+        per_dim = (
+            asg.join(v, "vec_id")
+            .join(F.broadcast(dims))
+            .select("cid", "dim", F.element_at("v", F.col("dim")).alias("val"))
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(25,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean")
+            )
+        )
+        new_cv = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s["mean"],
+            ).alias("cv_new")
+        )
+        # empty cells keep their previous centroid (deterministic both sides)
+        cent = cent.join(new_cv, "cid", "left").select(
+            "cid", F.coalesce("cv_new", "cv").alias("cv")
+        )
+    return cent
+
+
+def _ivf_assign(v: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cid, rn): each vector's nprobe nearest centroids by
+    rounded cosine, ties broken on cid ASC (both engines identical)."""
+    cos_c = F.round(V.cosine(F.col("v"), F.col("cv")), 6)
+    wa = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    return (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "cid", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "cid", "rn")
+    )
+
+
+def ivf_search_topk(
+    v: DataFrame, cent: DataFrame, n_queries: int = 10, nprobe: int = 2, k: int = 5
+) -> DataFrame:
+    """Cell-pruned top-k search against a trained (or seed) centroid
+    frame: assign every vector to its cell, probe each query's nprobe
+    nearest cells, score candidates exactly, rank. At 100 TB the cell id
+    is the partition key — candidate scoring is a cell-local join."""
+    final_asg = persist_tracked(_ivf_assign(v, cent, nprobe=nprobe))
+    cells = final_asg.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("member_id"), F.col("cid").alias("cell")
+    )
+    probes = final_asg.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("probe_cell")
+    )
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    nbrs = v.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    cand = (
+        probes.join(F.broadcast(q), "qid")
+        .join(cells, F.col("cell") == F.col("probe_cell"))
+        .join(nbrs, F.col("nid") == F.col("member_id"))
+        .filter(F.col("nid") != F.col("qid"))
+    )
+    ws = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        cand.select(
+            "qid", "nid", F.round(V.cosine(F.col("qv"), F.col("nv")), 6).alias("score")
+        )
+        .withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", F.round("score", 4).alias("score"), "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+@register("ivf_kmeans_topk", oracle=_kmeans_oracle())
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED centroids: 3 deterministic Lloyd iterations
+    from the 16 lowest-id seeds, then the nprobe=2 cell-pruned search —
+    full value-level oracle including the training (the oracle unrolls
+    the same Lloyd iterations as a CTE chain).
+
+    Addresses the untrained-centroid weakness of `ivf_ann_topk`. NB the
+    driver's embeddings are near-isotropic, so training cannot raise
+    recall THERE (no structure to learn; both layouts are balanced) —
+    the recall contract in tests/test_similarity_ops.py therefore runs
+    on seeded CLUSTERED vectors, where trained centroids must beat the
+    raw seeds."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    v = persist_tracked(emb.select("vec_id", V.as_double("embedding").alias("v")))
+    cent = persist_tracked(kmeans_train(v, iters=_KM_ITERS))
+    return ivf_search_topk(v, cent)
+
+
 @register("quantized_cosine_topk", oracle=None)  # int8 scores: engine-specific
 def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-5 over int8-QUANTIZED vectors (the compressed 100 TB
