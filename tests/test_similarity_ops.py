@@ -81,6 +81,39 @@ def test_kmeans_training_lifts_recall_on_clustered_data(spark, clustered):
     assert trained >= 0.9, trained
 
 
+def test_auto_blocks_scales_with_corpus():
+    from transit_feed_etl_spark.operators.vectors import auto_blocks
+
+    assert auto_blocks(100, 4096) == 2          # floor
+    assert auto_blocks(4096, 4096) == 2
+    assert auto_blocks(40_960, 4096) == 10      # grows linearly
+    assert auto_blocks(41_000, 4096) == 11      # ceil, not floor
+    # per-task bound: two blocks of ceil(n/n_blocks) rows each
+    for n in (10_000, 1_000_000, 100_000_000):
+        nb = auto_blocks(n, 4096)
+        assert -(-n // nb) <= 4096 + 1
+
+
+def test_blocked_cosine_invariant_under_block_count(spark, clustered):
+    """The tiling is a physical choice: any n_blocks (explicit or auto)
+    must produce the identical pair set."""
+    from transit_feed_etl_spark.operators.vectors import blocked_cosine_pairs
+
+    df, _ = clustered
+    emb = df.select("vec_id", F.col("v").alias("embedding"))
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in blocked_cosine_pairs(emb, "vec_id", "embedding", 0.8, **kw).collect()
+        )
+
+    base = pairs(n_blocks=2)
+    assert base  # clustered data: plenty of >=0.8 pairs
+    assert pairs(n_blocks=7) == base
+    assert pairs(target_rows_per_block=100) == base  # auto path: nb=5
+
+
 def test_kmeans_centroids_converge_to_cluster_means(spark, clustered):
     """After training, every centroid should sit far closer to its
     members' mean than the raw seed points do (objective decreases)."""
