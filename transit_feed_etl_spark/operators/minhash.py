@@ -144,13 +144,33 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document from distinct tokens.
+def portable_hash60(col: Column) -> Column:
+    """60-bit token hash computable IDENTICALLY in Spark and DuckDB:
+    the first 15 hex chars of md5, parsed as an integer. Spark:
+    conv(substring(md5(x),1,15),16,10); DuckDB:
+    CAST(CONCAT('0x', SUBSTR(md5(x),1,15)) AS UBIGINT). Both engines
+    produce the same lowercase-hex md5, so the value matches bit-for-bit
+    — this is what makes `simhash_portable` fully oracle-checkable where
+    the xxhash64 variant cannot be (xxhash64 has no DuckDB equivalent
+    and tokens are data, so the constants cannot be folded)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn=F.xxhash64,
+    n_bits: int = 64,
+) -> DataFrame:
+    """n_bits-wide SimHash fingerprint per document from distinct tokens.
 
     Bit j of the fingerprint is the sign of sum over tokens of
-    (+1 if bit j of xxhash64(token) else -1). Implemented as 64
+    (+1 if bit j of hash_fn(token) else -1). Implemented as n_bits
     conditional-sum aggregates over the exploded token relation —
-    partial-aggregatable, one shuffle on doc id.
+    partial-aggregatable, one shuffle on doc id. hash_fn defaults to
+    xxhash64 (fastest, engine-specific); pass `portable_hash60` with
+    n_bits=60 for the cross-engine-checkable variant.
     """
     # Same pre-partitioning trick as minhash_signature: group-by-id needs
     # no exchange when the token explode already sits on hash(doc_id).
@@ -160,13 +180,13 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "doc_id", F.array_distinct("_t0").alias("_t")
     )
     e = toks.select("doc_id", F.explode("_t").alias("_tok")).withColumn(
-        "_h", F.xxhash64("_tok")
+        "_h", hash_fn(F.col("_tok"))
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_v{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     # Single-pass aggregation: count(1) over the exploded DISTINCT tokens
     # equals size(_t), so no join back to the token relation is needed
@@ -177,20 +197,34 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(F.col(f"_v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
             F.lit(0).cast("long")
         )
-        for j in range(64)
+        for j in range(n_bits)
     ]
     fingerprint = reduce(lambda x, y: x.bitwiseOR(y), bits)
     return agg.select("doc_id", fingerprint.alias("simhash"), F.col("n_tokens").cast("int").alias("n_tokens"))
 
 
-def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole banding on 4 x 16-bit chunks
-    (any pair within Hamming distance 3 shares at least one exact chunk),
-    then exact popcount(xor) verification on candidates only."""
+def simhash_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole banding on n_chunks x
+    chunk_bits-bit chunks (any pair within Hamming distance n_chunks-1
+    shares at least one exact chunk), then exact popcount(xor)
+    verification on candidates only."""
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole banding with {n_chunks} chunks is only lossless "
+            f"for max_hamming <= {n_chunks - 1}, got {max_hamming}"
+        )
+    mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"_c{c}")
-            for c in range(4)
+            F.shiftright(F.col("simhash"), chunk_bits * c)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"_c{c}")
+            for c in range(n_chunks)
         ]
     )
     e = fingerprints.select(
