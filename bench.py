@@ -25,6 +25,8 @@ HEADLINE = (
     "join_revenue_by_nation",    # fact-fact + broadcast-dim join
     "left_join_order_counts",    # outer join + agg
     "latest_event_per_user",     # ranking window
+    "running_user_totals",       # frame window (running aggregate)
+    "scalar_subquery_above_avg_price",  # decorrelated subquery
     "topk_orders",               # global top-k
     "asof_join_purchase_before_view",  # as-of join operator
     "tumbling_hourly_rollup",    # event-time window rollup
@@ -34,8 +36,24 @@ HEADLINE = (
     "cosine_topk_bruteforce",    # vector similarity
     "embedding_neardup_pairs",   # quadratic cosine join baseline
     "ivf_ann_topk",              # cell-pruned ANN scale path
-    "text_token_stats",          # text analysis
+    "tfidf_top_terms",           # text analysis: TF-IDF join pipeline
+    "text_token_stats",          # text analysis: per-doc stats
 )
+
+
+def _prev_bench() -> dict[str, float]:
+    """Per-query timings from the latest BENCH_r*.json anchor (driver
+    artifact), for round-over-round delta reporting on stderr."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as f:
+            return json.load(f).get("parsed", {}).get("queries", {}) or {}
+    except Exception:
+        return {}
 
 
 def main() -> None:
@@ -79,9 +97,13 @@ def main() -> None:
             # drop persisted intermediates (minhash signatures, shingle
             # sets) so later queries don't inherit this heap pressure
             spark.catalog.clearCache()
+    prev = _prev_bench()
     for name in HEADLINE:
         timings[name] = round(timings[name], 3)
-        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
+        delta = ""
+        if name in prev and prev[name] > 0:
+            delta = f" [{(timings[name] / prev[name] - 1) * 100:+.0f}% vs prev round]"
+        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows){delta}", file=sys.stderr)
 
     out = {
         "metric": "headline_query_wall_time",

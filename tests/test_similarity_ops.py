@@ -92,6 +92,12 @@ def test_auto_blocks_scales_with_corpus():
     for n in (10_000, 1_000_000, 100_000_000):
         nb = auto_blocks(n, 4096)
         assert -(-n // nb) <= 4096 + 1
+    # parallelism floor: a small corpus on a wide cluster still yields
+    # ~1 tile per core (sqrt(2*par)); the memory rule dominates at scale
+    assert auto_blocks(5000, 4096, parallelism=32) == 8  # 36 tiles
+    assert auto_blocks(100_000_000, 4096, parallelism=32) == auto_blocks(
+        100_000_000, 4096
+    )
 
 
 def test_blocked_cosine_invariant_under_block_count(spark, clustered):

@@ -48,14 +48,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def auto_blocks(n_rows: int, target_rows_per_block: int = 4096) -> int:
-    """Block count that bounds per-task input at ~2*target rows: a tile
-    task holds two blocks of ~n/n_blocks rows each. Grows with the
-    corpus (n_blocks ~ n/target), so per-task memory stays flat at
-    100x the data while task count grows as n_blocks^2/2 — exactly the
-    parallelism shape a 1000-executor cluster wants. Floor of 2 keeps
-    the self-tile/cross-tile split meaningful on tiny corpora."""
-    return max(2, -(-n_rows // target_rows_per_block))
+def auto_blocks(
+    n_rows: int, target_rows_per_block: int = 4096, parallelism: int = 1
+) -> int:
+    """Block count with two constraints:
+
+    - memory ceiling: per-task input is ~2 blocks of n/n_blocks rows,
+      so n_blocks >= n/target keeps task memory flat at any corpus
+      size (dominates at 100 TB);
+    - parallelism floor: n_blocks(n_blocks+1)/2 tiles must keep the
+      cluster busy, so n_blocks >= sqrt(2*parallelism) gives ~1 tile
+      per core (dominates on small corpora, where a memory-only split
+      would starve the cluster — measured +10% at sf0.1 with the bare
+      n/target rule yielding 3 tiles on 32 cores; going to ~2 tiles
+      per core measurably LOSES to per-tile Python-worker overhead,
+      so the floor stays at 1).
+
+    Task count grows as n_blocks^2/2 — the shape a 1000-executor
+    cluster wants. Floor of 2 keeps the self/cross tile split
+    meaningful on tiny corpora."""
+    mem_floor = -(-n_rows // target_rows_per_block)
+    par_floor = int(-(-((2 * max(parallelism, 1)) ** 0.5) // 1))
+    return max(2, mem_floor, par_floor)
 
 
 def blocked_cosine_pairs(
@@ -99,7 +113,11 @@ def blocked_cosine_pairs(
         # bounded at ~2*target_rows_per_block vectors regardless of n
         # (the r1 review flagged the old fixed n_blocks=8: at 100 TB a
         # fixed split means ~n/8 rows per task — unbounded memory)
-        n_blocks = auto_blocks(emb.count(), target_rows_per_block)
+        n_blocks = auto_blocks(
+            emb.count(),
+            target_rows_per_block,
+            emb.sparkSession.sparkContext.defaultParallelism,
+        )
 
     v = emb.select(
         F.col(id_col).alias("_id"),

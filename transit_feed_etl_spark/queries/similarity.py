@@ -38,6 +38,23 @@ def _lsh_planes(n_planes: int = 8, dim: int = EMB_DIM) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+_EMB_COUNT_MEMO: dict[tuple[int, str], int] = {}
+
+
+def _emb_blocks(spark: SparkSession, sf_dir: str) -> int:
+    """Tile count for the blocked cosine kernel, memoized per session x
+    sf_dir: the sizing count runs ONCE (on the raw parquet relation —
+    column-less count is near metadata-speed; counting the repartitioned
+    frame would pay its shuffle per invocation, ~1s at sf0.1)."""
+    key = (id(spark), sf_dir)
+    if key not in _EMB_COUNT_MEMO:
+        _EMB_COUNT_MEMO[key] = table(spark, sf_dir, "embeddings").count()
+    return V.auto_blocks(
+        _EMB_COUNT_MEMO[key],
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 @register(
     "cosine_topk_bruteforce",
     oracle=f"""
@@ -117,7 +134,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding and the >= 0.8 cut happen JVM-side so 4dp scores hash-match
     the DuckDB oracle."""
     emb = table_par(spark, sf_dir, "embeddings")  # dense math on all cores
-    raw = V.blocked_cosine_pairs(emb, "vec_id", "embedding", 0.8 - 1e-4)
+    raw = V.blocked_cosine_pairs(
+        emb, "vec_id", "embedding", 0.8 - 1e-4, n_blocks=_emb_blocks(spark, sf_dir)
+    )
     return (
         raw.select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.8)
