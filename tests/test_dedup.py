@@ -10,6 +10,8 @@ path too (the testdata's near-dups sit at Jaccard >= 0.9 where the
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from transit_feed_etl_spark.io import table_par
@@ -139,3 +141,46 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
     pruned = pairs(prefix)
     sh.unpersist()
     assert pruned * 2 < naive, (pruned, naive)  # ~4x observed
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A~B~C chains collapse transitively; separate cliques stay apart;
+    labels are component minima."""
+    from transit_feed_etl_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_diameter_guard(spark):
+    from transit_feed_etl_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    # 7-node path: min-label needs ~6 rounds; max_iter=2 must refuse
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    got = {r["node"]: r["label"] for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every near-dup pair must land in one cluster, and every cluster
+    member must reach its canonical through pair edges (size >= 2)."""
+    clusters = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in QUERIES["dedup_clusters"].builder(spark, SF_DIR).collect()
+    }
+    pair_rows = QUERIES["neardup_jaccard_pairs"].builder(spark, SF_DIR).collect()
+    assert pair_rows and clusters
+    for r in pair_rows:
+        assert clusters[r.id_a][0] == clusters[r.id_b][0], (r.id_a, r.id_b)
+    assert all(size >= 2 for _, size in clusters.values())
+    assert all(canon in clusters for canon, _ in clusters.values())

@@ -1,0 +1,74 @@
+"""Connected components over a pair/edge relation (EXT: dedup cluster
+resolution).
+
+Near-dup detection emits PAIRS; deduplication needs CLUSTERS — the
+transitive closure (A~B, B~C => {A,B,C} share one canonical id). This
+is min-label propagation as pure DataFrame ops: every node starts
+labeled with itself, each round takes the min of its own and its
+neighbors' labels, fixpoint = component minimum.
+
+Scale design: each round is one shuffle keyed on node id (the
+groupBy-min is partial-aggregatable), rounds needed = O(component
+diameter) — near-dup clusters are shallow (pairs chain through shared
+content), so a handful of rounds converge. Every round persists its
+label frame and drops the previous one, keeping lineage flat (without
+that, round k replays rounds 1..k-1). The alternating large-star/
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014) drops in for adversarially deep
+graphs; min-label is the right default for dedup workloads.
+
+The fixpoint is engine-independent, so a DuckDB recursive CTE oracle
+value-checks the whole operator (queries/dedup.py::dedup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.caching import persist_tracked
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, label) for every node appearing in `edges`, where label is
+    the smallest node id in its connected component. Deterministic;
+    raises if the fixpoint isn't reached within max_iter rounds (each
+    round propagates labels one hop, so max_iter bounds the supported
+    component diameter)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetrize: propagation must flow both directions
+    e = persist_tracked(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+    labels = persist_tracked(
+        e.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["a"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        new_labels = persist_tracked(stepped.select("node", "label"))
+        # one count() drives convergence AND materializes the persist
+        changed = stepped.filter(F.col("label") < F.col("old_label")).count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )

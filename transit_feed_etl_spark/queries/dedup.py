@@ -17,7 +17,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from transit_feed_etl_spark.caching import persist_tracked
@@ -275,6 +275,60 @@ def simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         MH.simhash_pairs(fps, max_hamming=3, n_chunks=4, chunk_bits=15)
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY node)
+    SELECT cc.doc_id, cc.canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY cc.canonical_id) AS INT) AS cluster_size
+    FROM cc
+    ORDER BY canonical_id, doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup cluster resolution: near-dup PAIRS (exact
+    Jaccard >= 0.35 via the prefix-filtered join) -> connected
+    components -> one canonical id (component minimum) per document,
+    with the cluster size. This is the step that turns pairwise
+    similarity into an actual dedup decision (keep canonical, drop the
+    rest); A~B~C chains collapse into one cluster even when A and C are
+    not directly similar. Singleton docs (no near-dup) are not emitted.
+
+    Value-level oracle: min-label propagation reaches the same fixpoint
+    as DuckDB's recursive reachability CTE — the iteration strategy is
+    engine-specific, the result is not."""
+    from transit_feed_etl_spark.operators.components import connected_components
+    from transit_feed_etl_spark.operators.prefixfilter import jaccard_prefix_pairs
+
+    d = table_par(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    sh = persist_tracked(
+        toks.select(
+            "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+        )
+    )
+    pairs = jaccard_prefix_pairs(sh, id_col="doc_id", set_col="sh", threshold=0.35)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    w = W.partitionBy("canonical_id")
+    return (
+        cc.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("int"))
+        .orderBy("canonical_id", "doc_id")
     )
 
 
