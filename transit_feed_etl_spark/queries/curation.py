@@ -1,0 +1,172 @@
+"""Training-data curation operators over `documents` (EXT, north star):
+deterministic sampling and benchmark-contamination detection — the
+selection steps a 100 TB pretraining pipeline runs after dedup/quality.
+
+Design notes:
+- Sampling is HASH-determined, not rand(): reproducible across runs,
+  engines, and partitionings (rand() is none of those), and it needs no
+  shuffle at all — the predicate evaluates per-row in the scan stage
+  and pushes down. The hash is the md5-derived portable_hash60
+  (operators/minhash.py), so every sample decision value-checks against
+  DuckDB.
+- Stratified sampling = one window shuffle keyed on the stratum; the
+  per-stratum order is (hash, doc_id) — a deterministic uniform
+  permutation, so quota k takes a uniform k-subset per stratum.
+- Contamination = shingle equi-join of the corpus against the
+  benchmark subset: shuffle keys are 8-byte shingle hashes, candidate
+  volume is bounded by shared-shingle frequency exactly like the
+  near-dup join (queries/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.caching import persist_tracked
+from transit_feed_etl_spark.io import table, table_par
+from transit_feed_etl_spark.operators import minhash as MH
+from transit_feed_etl_spark.operators import textfns as TX
+from transit_feed_etl_spark.registry import register
+
+# portable_hash60 of a doc_id, identical in both engines (see
+# operators/minhash.py::portable_hash60)
+_H60_ID_SQL = (
+    "CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS UBIGINT) AS BIGINT)"
+)
+
+
+def _h60_id(col: str = "doc_id"):
+    return MH.portable_hash60(F.col(col).cast("string"))
+
+
+@register(
+    "hash_sample_documents",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT doc_id, lang, n_chars, {_H60_ID_SQL} AS h FROM documents)
+    WHERE h % 100 < 10
+    ORDER BY doc_id
+    """,
+)
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample: keep docs whose portable
+    content-id hash falls under the rate cutoff. Reproducible across
+    runs/engines/partitionings (rand() is none of those) and entirely
+    shuffle-free — the predicate evaluates in the scan stage. At 100 TB
+    this is THE way to cut a stable dev subset: re-running selects the
+    same documents, and adding new data never reshuffles old decisions."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("h", _h60_id())
+        .filter(F.col("h") % 100 < 10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM (SELECT lang, doc_id, {_H60_ID_SQL} AS h FROM documents)
+    )
+    WHERE rk <= 20
+    ORDER BY lang, rk
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling: a deterministic uniform 20-doc subset
+    PER LANGUAGE (order by hash = random-but-reproducible permutation
+    within each stratum). The balancing step for multilingual corpora
+    where proportional sampling would starve low-resource strata. One
+    window shuffle keyed on the stratum; skewed strata split fine
+    because the quota evaluates per-partition after AQE."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.withColumn("h", _h60_id())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+# Benchmark set stand-in: every 53rd document (the driver testdata has
+# no separate eval table; the operator shape is identical when the
+# benchmark side is a real held-out relation).
+_BENCH_PRED = "doc_id % 53 = 0"
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+_SHINGLES_SQL = f"""
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(LEN(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, UNNEST(sh) AS s FROM sh WHERE LEN(sh) > 0),
+    bench AS (SELECT doc_id, s FROM e WHERE {_BENCH_PRED}),
+    train AS (SELECT doc_id, s FROM e WHERE NOT ({_BENCH_PRED})),
+    hits AS (
+      SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+             COUNT(*) AS n_shared
+      FROM train t JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM sh)
+    SELECT h.train_id, h.bench_id, CAST(h.n_shared AS INT) AS n_shared,
+           ROUND(CAST(h.n_shared AS DOUBLE) / sz.n, 6) AS overlap_frac
+    FROM hits h JOIN sizes sz ON sz.doc_id = h.bench_id
+    WHERE CAST(h.n_shared AS DOUBLE) / sz.n >= 0.5
+    ORDER BY train_id, bench_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: flag training documents
+    sharing >= 50% of a benchmark document's word-3-gram shingles — the
+    n-gram-overlap decontamination standard for pretraining corpora
+    (the GPT-3/C4 papers' method, expressed as one shingle equi-join).
+    Shuffle carries (shingle, doc_id) pairs; the benchmark side is tiny
+    (every 53rd doc here), so candidate volume stays bounded. At 100 TB
+    the bench shingle relation broadcasts."""
+    d = table_par(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    sh = persist_tracked(
+        toks.select(
+            "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+        )
+    )
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    is_bench = F.col("doc_id") % 53 == 0
+    bench = e.filter(is_bench)
+    train = e.filter(~is_bench)
+    hits = (
+        train.alias("t")
+        .join(F.broadcast(bench.alias("b")), F.col("t.s") == F.col("b.s"))
+        .groupBy(
+            F.col("t.doc_id").alias("train_id"), F.col("b.doc_id").alias("bench_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = sh.select(F.col("doc_id").alias("bench_id"), F.size("sh").alias("n"))
+    frac = F.col("n_shared").cast("double") / F.col("n")
+    return (
+        hits.join(F.broadcast(sizes), "bench_id")
+        .filter(frac >= 0.5)
+        .select(
+            "train_id",
+            "bench_id",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            F.round(frac, 6).alias("overlap_frac"),
+        )
+        .orderBy("train_id", "bench_id")
+    )
