@@ -109,6 +109,63 @@ _SHINGLES_SQL = f"""
 """
 
 
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 8
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST(({_H60_ID_SQL}) % {_PACK_BUCKETS} AS INT) AS bucket,
+             CAST(LEN({_TOKS_SQL}) AS INT) AS n_tokens,
+             {_H60_ID_SQL} AS h
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, bucket, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+      FROM d
+    ),
+    fill AS (
+      SELECT bucket, rn, doc_id, n_tokens, n_tokens AS acc, 0 AS pack
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN f.acc > 0 AND f.acc + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE f.acc + o.n_tokens END,
+             CASE WHEN f.acc > 0 AND f.acc + o.n_tokens > {_PACK_BUDGET}
+                  THEN f.pack + 1 ELSE f.pack END
+      FROM fill f JOIN o ON o.bucket = f.bucket AND o.rn = f.rn + 1
+    )
+    SELECT doc_id, bucket, CAST(bucket * 100000 + pack AS BIGINT) AS pack_id,
+           n_tokens
+    FROM fill
+    ORDER BY doc_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing (operators/packing.py): documents
+    hash-bucketed, each bucket packed by a deterministic next-fit fold
+    into <= 512-token packs inside one applyInPandas task. The fold is
+    order-deterministic, so the DuckDB oracle replays it row by row as
+    a recursive CTE — the packing DECISIONS value-check, not just
+    aggregate stats. Packing efficiency is a direct pretraining cost
+    multiplier; per-bucket independence is what lets it scale out."""
+    from transit_feed_etl_spark.operators.packing import pack_documents
+
+    d = table_par(spark, sf_dir, "documents")
+    prepped = d.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        _h60_id().alias("h"),
+    )
+    return pack_documents(
+        prepped, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    ).orderBy("doc_id")
+
+
 @register(
     "benchmark_contamination",
     oracle=f"""
