@@ -237,3 +237,47 @@ def test_q5_broadcasts_all_dims_single_fact_shuffle(spark):
     # join is lineitem-orders (fact-fact); no nested loop
     assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_broadcasts_bench_side(spark):
+    """benchmark_contamination: the bench shingle relation (tiny) must
+    broadcast — the big train side never shuffles for the join."""
+    plan = _final_plan(QUERIES["benchmark_contamination"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    """hash_sample_documents: the sampling predicate evaluates in the
+    scan stage — no Exchange anywhere before the final sort."""
+    plan = _final_plan(QUERIES["hash_sample_documents"].builder(spark, SF))
+    # the only exchange permitted is the rangepartitioning for ORDER BY
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert not hash_exchanges, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """ivf_kmeans_topk: every Lloyd assignment broadcasts the 16-row
+    centroid table — the corpus never shuffles for assignment."""
+    plan = _final_plan(QUERIES["ivf_kmeans_topk"].builder(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # no sort-merge join: nothing big ever joins anything big here
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle_per_bucket_fold(spark):
+    """pack_sequences: one hash exchange on the bucket key feeds the
+    per-bucket applyInPandas fold; no other data movement."""
+    from transit_feed_etl_spark.operators.packing import pack_documents
+    from transit_feed_etl_spark.operators import minhash as MH
+    from transit_feed_etl_spark.operators import textfns as TX
+
+    d = table(spark, SF, "documents")
+    prepped = d.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        MH.portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    plan = _final_plan(pack_documents(prepped))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
