@@ -64,3 +64,40 @@ def test_media_stats_catalyst_only(media):
     assert stats["image"]["n_distinct_payloads"] == 3
     assert stats["video"]["total_bytes"] == 1024 + 13
     assert stats["audio"]["total_bytes"] is None
+
+
+def test_probe_media_real_formats():
+    """Hand-built headers of each real container format decode to the
+    right metadata (public layouts; no codec libs involved)."""
+    import struct
+
+    from transit_feed_etl_spark.operators.multimodal import probe_media
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00")
+    assert probe_media(png) == ("png", 640, 480, None)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert probe_media(gif) == ("gif", 320, 200, None)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 4
+    assert probe_media(bmp) == ("bmp", 800, 600, None)  # top-down rows
+
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03")
+    assert probe_media(jpeg) == ("jpeg", 1920, 1080, None)
+
+    byte_rate = 44100 * 2 * 2
+    wav = (b"RIFF" + struct.pack("<I", 36 + byte_rate) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 2, 44100, byte_rate, 4, 16)
+           + b"data" + struct.pack("<I", byte_rate))  # exactly 1 s of audio
+    assert probe_media(wav) == ("wav", None, None, 1000)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        probe_media(b"\x00" * 64)
+    with _pytest.raises(ValueError):
+        probe_media(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # jpeg, no SOF

@@ -63,25 +63,79 @@ def pack_fake_payload(kind_code: int, width: int, height: int, body: bytes) -> b
     return struct.pack(_FAKE_HDR, _FAKE_MAGIC, kind_code, width, height) + body
 
 
+def probe_media(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """REAL container-format metadata probe — pure struct parsing of the
+    public PNG/GIF/BMP/JPEG/WAV layouts, no codec libraries:
+
+    returns (format, width, height, duration_ms); raises ValueError for
+    unrecognized bytes. Pixel/sample DECODING stays out of scope in this
+    image (that part needs PIL/ffmpeg); header-level decode — the part a
+    curation pipeline actually filters on (dimensions, duration) — is
+    real.
+    """
+    if payload is None or len(payload) < 12:
+        raise ValueError("payload too short")
+    # PNG: 8-byte signature, then IHDR chunk: len(4) 'IHDR' w(be32) h(be32)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", payload, 16)
+        return "png", w, h, None
+    # GIF87a/89a: width/height little-endian uint16 at offset 6
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return "gif", w, h, None
+    # BMP: 'BM', BITMAPINFOHEADER width/height int32 LE at 18/22
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return "bmp", w, abs(h), None  # negative h = top-down rows
+    # JPEG: walk segments to the SOF0/SOF2 frame header
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload) and payload[i] == 0xFF:
+            marker, seg_len = payload[i + 1], struct.unpack_from(">H", payload, i + 2)[0]
+            if marker in (0xC0, 0xC2) and i + 9 <= len(payload):
+                h, w = struct.unpack_from(">HH", payload, i + 5)
+                return "jpeg", w, h, None
+            i += 2 + seg_len
+        raise ValueError("jpeg without SOF frame header")
+    # WAV: RIFF container, fmt chunk byte_rate at 28, data chunk size
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        byte_rate = struct.unpack_from("<I", payload, 28)[0]
+        i = 36
+        while i + 8 <= len(payload):
+            cid, csize = payload[i : i + 4], struct.unpack_from("<I", payload, i + 4)[0]
+            if cid == b"data":
+                dur = int(csize * 1000 / byte_rate) if byte_rate else None
+                return "wav", None, None, dur
+            i += 8 + csize
+        raise ValueError("wav without data chunk")
+    raise ValueError("unrecognized container format")
+
+
 DECODED_SCHEMA = (
-    "media_id long, format string, width int, height int, "
+    "media_id long, format string, width int, height int, duration_ms int, "
     "n_bytes int, content_sha string"
 )
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """Decode stage over mapInPandas. STUB CODEC: parses the FAKE header
-    deterministically; a real deployment replaces `_decode_one` with a
-    PIL/ffmpeg call — the plan, schema and batch shape stay identical."""
+    """Decode stage over mapInPandas. Metadata decode is REAL for
+    PNG/GIF/BMP/JPEG/WAV (probe_media — pure struct over the public
+    container layouts); the synthetic FAKE header keeps a deterministic
+    oracle-checkable path; pixel/sample decode would slot into the same
+    body via PIL/ffmpeg — the plan, schema and batch shape are final."""
 
-    def _decode_one(payload: bytes) -> tuple[str, int, int]:
+    def _decode_one(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
+        try:
+            return probe_media(payload)
+        except ValueError:
+            pass
         if payload is None or len(payload) < struct.calcsize(_FAKE_HDR):
-            raise NotImplementedError("real codec not available in this image")
+            raise NotImplementedError("undecodable payload (no real codec in image)")
         magic, kind, w, h = struct.unpack_from(_FAKE_HDR, payload)
         if magic != _FAKE_MAGIC:
-            raise NotImplementedError("real codec not available in this image")
+            raise NotImplementedError("undecodable payload (no real codec in image)")
         fmt = {0: "png", 1: "wav", 2: "mp4"}.get(kind, "bin")
-        return fmt, w, h
+        return fmt, w, h, None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -90,18 +144,20 @@ def decode_media(df: DataFrame) -> DataFrame:
                 "format": [],
                 "width": [],
                 "height": [],
+                "duration_ms": [],
                 "n_bytes": [],
                 "content_sha": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    fmt, w, h = _decode_one(payload)
+                    fmt, w, h, dur = _decode_one(payload)
                 except NotImplementedError:
-                    fmt, w, h = None, None, None
+                    fmt, w, h, dur = None, None, None, None
                 out["media_id"].append(mid)
                 out["format"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
+                out["duration_ms"].append(dur)
                 out["n_bytes"].append(len(payload) if payload is not None else 0)
                 out["content_sha"].append(
                     hashlib.sha256(payload).hexdigest() if payload is not None else None

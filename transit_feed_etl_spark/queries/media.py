@@ -75,6 +75,88 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _be(col: F.Column, n_hex: int) -> F.Column:
+    return F.unhex(F.lpad(F.hex(col), n_hex, "0"))
+
+
+def _le(col: F.Column, n_bytes: int) -> F.Column:
+    """Little-endian n-byte encoding of an int column, built byte by
+    byte JVM-side (no Python in the fabrication path)."""
+    return F.concat(
+        *[
+            F.unhex(
+                F.lpad(F.hex(F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))), 2, "0")
+            )
+            for i in range(n_bytes)
+        ]
+    )
+
+
+@register(
+    "media_real_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(32 + doc_id % 512 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(16 + doc_id % 256 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN
+             CAST(FLOOR((1000 + (doc_id % 977) * 4) * 1000.0
+                  / ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2)) AS INT)
+           END AS duration_ms
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-format round-trip: fabricate spec-conformant PNG
+    and WAV byte streams entirely in Catalyst (binary literals + per-byte
+    big/little-endian encodes), ship them through Arrow, and parse them
+    with the real struct-level probe (operators/multimodal.py:
+    probe_media) — NOT the FAKE stub header. The oracle recomputes
+    dimensions/duration from the construction formulas, so the byte
+    layouts, endianness handling, and the RIFF chunk walk are all
+    differential-checked. Pixel decode stays out of scope (no codec libs
+    in the image); header decode — what curation filters on — is real."""
+    d = table_par(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (F.lit(32) + did % 512).cast("int")
+    h = (F.lit(16) + did % 256).cast("int")
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),          # signature
+        F.lit(b"\x00\x00\x00\x0dIHDR"),       # IHDR length + tag
+        _be(w, 8),
+        _be(h, 8),
+        F.lit(b"\x08\x06\x00\x00\x00"),       # bit depth/color/interlace
+    )
+    sample_rate = (F.lit(8000) + (did % 8) * 1000).cast("int")
+    channels = (F.lit(1) + did % 2).cast("int")
+    byte_rate = (sample_rate * channels * 2).cast("int")
+    data_size = (F.lit(1000) + (did % 977) * 4).cast("int")
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        _le(data_size + 36, 4),
+        F.lit(b"WAVEfmt "),
+        _le(F.lit(16), 4),                    # fmt chunk size
+        _le(F.lit(1), 2),                     # PCM
+        _le(channels, 2),
+        _le(sample_rate, 4),
+        _le(byte_rate, 4),
+        _le(channels * 2, 2),                 # block align
+        _le(F.lit(16), 2),                    # bits per sample
+        F.lit(b"data"),
+        _le(data_size, 4),
+    )
+    media = d.select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, png).otherwise(wav).alias("payload"),
+    )
+    return (
+        MM.decode_media(media)
+        .select("media_id", "format", "width", "height", "duration_ms")
+        .orderBy("media_id")
+    )
+
+
 @register(
     "media_kind_stats",
     oracle="""
