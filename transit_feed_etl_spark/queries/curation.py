@@ -109,6 +109,110 @@ _SHINGLES_SQL = f"""
 """
 
 
+@register(
+    "quality_filter_verdicts",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, GREATEST(LEN(toks), 1)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS b
+      FROM base WHERE LEN(toks) >= 2
+    ),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bgs AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot_c FROM bgc GROUP BY doc_id),
+    sig AS (
+      SELECT base.doc_id,
+             CAST(LEN(toks) AS INT) AS n_tokens,
+             ROUND(1.0 - CAST(LEN(list_distinct(lines)) AS DOUBLE)
+                   / GREATEST(LEN(lines), 1), 6) AS dup_line_frac,
+             ROUND(COALESCE(CAST(bgs.top_c AS DOUBLE) / bgs.tot_c, 0.0), 6)
+               AS top_bigram_frac
+      FROM base LEFT JOIN bgs ON bgs.doc_id = base.doc_id
+    )
+    SELECT doc_id, n_tokens, dup_line_frac, top_bigram_frac,
+           CASE WHEN n_tokens < 10 THEN 0
+                WHEN n_tokens > 10000 THEN 0
+                WHEN dup_line_frac > 0.3 THEN 0
+                WHEN top_bigram_frac > 0.2 THEN 0 ELSE 1 END AS keep,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 10000 THEN 'too_long'
+                WHEN dup_line_frac > 0.3 THEN 'repetitive_lines'
+                WHEN top_bigram_frac > 0.2 THEN 'repetitive_ngrams'
+           END AS drop_reason
+    FROM sig
+    ORDER BY doc_id
+    """,
+)
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filtering with per-document verdicts and
+    drop reasons — the Gopher/C4-style repetition rules: token-count
+    bounds, duplicate-line fraction, and top-bigram mass fraction. The
+    signals are single-pass Catalyst expressions plus ONE doc-keyed
+    aggregate for the bigram stats (partial-aggregatable — the shuffle
+    carries (doc, bigram) counts, not text). Rules compare the ROUNDED
+    fractions so engine boundary behavior is identical; the whole
+    decision table value-checks against DuckDB."""
+    d = table_par(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        TX.tokens("text").alias("toks"),
+        F.split("text", "\n").alias("lines"),
+    )
+    bg = base.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(TX.word_shingles(F.col("toks"), 2)).alias("b")
+    )
+    bgs = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot_c"))
+    )
+    dup_line = F.round(
+        1.0
+        - F.size(F.array_distinct("lines")).cast("double")
+        / F.greatest(F.size("lines"), F.lit(1)),
+        6,
+    )
+    top_bg = F.round(
+        F.coalesce(F.col("top_c").cast("double") / F.col("tot_c"), F.lit(0.0)), 6
+    )
+    sig = (
+        base.join(bgs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            dup_line.alias("dup_line_frac"),
+            top_bg.alias("top_bigram_frac"),
+        )
+    )
+    keep = (
+        F.when(F.col("n_tokens") < 10, 0)
+        .when(F.col("n_tokens") > 10000, 0)
+        .when(F.col("dup_line_frac") > 0.3, 0)
+        .when(F.col("top_bigram_frac") > 0.2, 0)
+        .otherwise(1)
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_tokens") > 10000, "too_long")
+        .when(F.col("dup_line_frac") > 0.3, "repetitive_lines")
+        .when(F.col("top_bigram_frac") > 0.2, "repetitive_ngrams")
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "dup_line_frac",
+        "top_bigram_frac",
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
 _PACK_BUDGET = 512
 _PACK_BUCKETS = 8
 
