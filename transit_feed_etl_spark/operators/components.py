@@ -45,27 +45,52 @@ def connected_components(
     e = persist_tracked(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
+    e.count()  # materialize ONCE — every round reads this cache
     labels = persist_tracked(
         e.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    labels.count()
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels, e["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        stepped = labels.join(
-            nbr_min, labels["node"] == nbr_min["a"], "left"
-        ).select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        # pointer jumping: also adopt the label OF my current label
+        # (label[label]); combined with the neighbor step this halves
+        # the unresolved depth per round, so convergence is O(log
+        # diameter) rounds instead of O(diameter) — at local scale the
+        # per-round fixed cost (plan compile + shuffle setup) dominates,
+        # and on a cluster fewer synchronous rounds is strictly better
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
-        new_labels = persist_tracked(stepped.select("node", "label"))
-        # one count() drives convergence AND materializes the persist
+        # Persist protocol (the difference between O(rounds) and
+        # O(2^rounds)): persist `stepped` itself, and let the SAME
+        # count() that drives convergence fill its cache. The next
+        # round's labels are a projection of this cached frame, so
+        # lineage stays one hop deep; unpersisting the previous frame is
+        # then safe. (Persisting a DIFFERENT projection and counting
+        # this one would leave the persisted frame unmaterialized — the
+        # old labels would be dropped while still the only real copy,
+        # and every later round would replay the full chain back to the
+        # edge relation: measured minutes vs seconds at sf0.1.)
+        stepped = persist_tracked(
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .join(jump, labels["label"] == jump["jnode"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", "label"),
+                    F.coalesce("jlabel", "label"),
+                ).alias("label"),
+            )
+        )
         changed = stepped.filter(F.col("label") < F.col("old_label")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.select("node", "label")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -322,7 +322,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
         )
     )
-    pairs = jaccard_prefix_pairs(sh, id_col="doc_id", set_col="sh", threshold=0.35)
+    # materialize the shingle cache BEFORE the pair join references it
+    # 4x, then materialize the pair relation itself: the component loop
+    # re-reads its edge input every round, and an unmaterialized edge
+    # lineage would replay the whole shingle pipeline per round
+    # (measured: the loop goes from minutes to seconds at sf0.1)
+    sh.count()
+    pairs = persist_tracked(
+        jaccard_prefix_pairs(sh, id_col="doc_id", set_col="sh", threshold=0.35)
+    )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     w = W.partitionBy("canonical_id")
     return (

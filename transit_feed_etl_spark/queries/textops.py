@@ -238,10 +238,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collect embedded in the plan (re-plans cleanly per
     sf_dir). Per-row double math (LN, ×) is IEEE-identical across
     engines, so the oracle hash-matches despite floating point."""
+    from transit_feed_etl_spark.caching import persist_tracked
+
     d = table_par(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # persist tf and derive df FROM it: COUNT(DISTINCT doc_id) over the
+    # raw token relation equals COUNT(*) over tf rows, so the second
+    # tokenize+explode pass and its wide (term, doc_id) distinct
+    # exchange disappear — df becomes a cheap re-agg of the compact
+    # (doc, term) relation (measured 1.2s -> 0.8s at sf0.1)
+    tf = persist_tracked(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
