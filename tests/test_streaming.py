@@ -267,3 +267,52 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # 12:00 window: n=1 (the late click did NOT bump it to 2);
     # 12:30 window: n=1; 12:50 window: unfinalized, not emitted
     assert out == {(12, 0, "click"): 1, (12, 30, "view"): 1}
+
+
+def test_ingest_stream_geoparquet_mode(spark, tmp_path):
+    """geoparquet=True: the streamed output files carry real WKB
+    geometry and the GeoParquet 'geo' footer with per-file bbox —
+    A12 GeoParquet parity inside the live pipeline."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    spool = tmp_path / "spool_geo"
+    spool.mkdir()
+    _spool_file(
+        spool / "f.json",
+        "mta",
+        "2024-03-01T12:00:00",
+        [
+            {
+                "id": "v9",
+                "vehicle": {
+                    "vehicle": {"id": "v9"},
+                    "position": {"latitude": 40.7, "longitude": -74.0,
+                                 "speed": 1.0, "bearing": 0.0},
+                    "trip": {"trip_id": "t", "route_id": "r"},
+                    "current_stop_sequence": 1,
+                    "current_status": 2,
+                },
+            }
+        ],
+    )
+    q, metrics, catalog = start_ingest(
+        spark,
+        str(spool),
+        str(tmp_path / "geo_out"),
+        str(tmp_path / "geo_catalog"),
+        str(tmp_path / "geo_ckpt"),
+        available_now=True,
+        geoparquet=True,
+    )
+    q.awaitTermination(120)
+    assert metrics.records == 1
+    files = _glob.glob(str(tmp_path / "geo_out") + "/**/*.parquet", recursive=True)
+    assert files
+    tbl = pq.read_table(files[0])
+    geo = json.loads(tbl.schema.metadata[b"geo"])
+    assert geo["primary_column"] == "geometry"
+    assert geo["columns"]["geometry"]["bbox"] == [-74.0, 40.7, -74.0, 40.7]
+    wkb = tbl.to_pandas()["geometry"].iloc[0]
+    assert bytes(wkb[:5]) == b"\x01\x01\x00\x00\x00"  # WKB little-endian Point

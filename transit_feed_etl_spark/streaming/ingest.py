@@ -53,8 +53,15 @@ def make_batch_processor(
     quarantine_root: str | None = None,
     metrics: IngestMetrics | None = None,
     run_quality_check: bool = True,
+    geoparquet: bool = False,
 ):
-    """foreachBatch sink implementing A8/A10/A12/A14-A16/A21."""
+    """foreachBatch sink implementing A8/A10/A12/A14-A16/A21.
+
+    ``geoparquet=True`` adds a WKB `geometry` column before the write
+    and stamps the GeoParquet `geo` footer (per-file bbox, EPSG:4326)
+    after it — full A12 GeoParquet parity in the live pipeline
+    (reference gtfs_rt_assets.py:122-141), at the same per-batch
+    boundary as the catalog append."""
     metrics = metrics if metrics is not None else IngestMetrics()
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -67,7 +74,24 @@ def make_batch_processor(
             if n == 0:  # A10 empty-batch guard (gtfs_rt_assets.py:114-116)
                 metrics.empty_batches += 1
                 return
-            write_partitioned(good, out_root)
+            if geoparquet:
+                from transit_feed_etl_spark.pipeline.geoparquet import (
+                    finalize_geo_metadata,
+                    wkb_point,
+                )
+
+                # the WKB column REPLACES the struct geometry: GeoParquet
+                # readers key on primary_column "geometry" being WKB
+                write_partitioned(
+                    good.withColumn(
+                        "geometry",
+                        wkb_point(F.col("longitude"), F.col("latitude")),
+                    ),
+                    out_root,
+                )
+                finalize_geo_metadata(out_root)
+            else:
+                write_partitioned(good, out_root)
             # One catalog row per hour partition the batch touched (the
             # reference's one-file-per-run template adapted to a
             # partitioned layout; per-partition rows keep the bbox zone
@@ -97,12 +121,15 @@ def start_ingest(
     quarantine_root: str | None = None,
     processing_time: str | None = "60 seconds",
     available_now: bool = False,
+    geoparquet: bool = False,
 ):
     """Start the ingestion stream. `available_now=True` drains the spool
     and stops (catch-up/backfill mode); otherwise a 60 s trigger matches
     the reference's cron cadence (gtfs_rt_assets.py:255)."""
     catalog = FileCatalog(spark, catalog_path)
-    process, metrics = make_batch_processor(out_root, catalog, quarantine_root)
+    process, metrics = make_batch_processor(
+        out_root, catalog, quarantine_root, geoparquet=geoparquet
+    )
     raw = spark.readStream.schema(RAW_FEED_SCHEMA).json(spool_dir)
     writer = raw.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
         process
