@@ -186,3 +186,89 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         ]
         want = max(cands)[1] if cands else None  # latest ts, tie -> largest id
         assert got[i] == want, (i, k, s, cands)
+
+
+# --- GTFS-RT wire codec: decode(encode(x)) == x for ALL field shapes ---
+
+_opt_text = st.one_of(st.none(), st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=12))
+_opt_f32 = st.one_of(st.none(), st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32))
+_entity = st.fixed_dictionaries(
+    {
+        "entity_id": st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=8),
+        "vehicle_id": _opt_text,
+        "lat": _opt_f32,
+        "lon": _opt_f32,
+        "speed": _opt_f32,
+        "bearing": _opt_f32,
+        "trip_id": _opt_text,
+        "route_id": _opt_text,
+        "stop_sequence": st.one_of(st.none(), st.integers(0, 2**31 - 1)),
+        "status": st.one_of(st.none(), st.integers(0, 6)),
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_entity, max_size=5), st.integers(0, 2**40))
+def test_wire_roundtrip_preserves_every_field(entities, header_ts):
+    """Pure-Python protobuf wire codec: every optional field combination
+    round-trips exactly (float32 values compare after f32 quantization,
+    which the encoder applies by construction)."""
+    import struct as _struct
+
+    from transit_feed_etl_spark.sources import gtfs_wire as W
+
+    payload = W.encode_feed_message(
+        b"".join(W.encode_vehicle_entity(**e) for e in entities),
+        header_ts=header_ts,
+    )
+    msg = W.decode_feed_message(payload)
+    assert msg["header"]["timestamp"] == header_ts
+    assert len(msg["entity"]) == len(entities)
+    for e, got in zip(entities, msg["entity"]):
+        assert got["id"] == e["entity_id"]
+        v = got["vehicle"]
+        f32 = lambda x: _struct.unpack("<f", _struct.pack("<f", x))[0]  # noqa: E731
+        if e["vehicle_id"] is None:
+            assert v["vehicle"] is None
+        else:
+            assert v["vehicle"]["id"] == e["vehicle_id"]
+        pos_fields = {k: e[k] for k in ("lat", "lon", "bearing", "speed")}
+        if all(x is None for x in pos_fields.values()):
+            assert v["position"] is None
+        else:
+            pos = v["position"]
+            for enc_k, dec_k in (("lat", "latitude"), ("lon", "longitude"),
+                                 ("bearing", "bearing"), ("speed", "speed")):
+                want = pos_fields[enc_k]
+                assert pos[dec_k] == (None if want is None else f32(want))
+        if e["trip_id"] is None and e["route_id"] is None:
+            assert v["trip"] is None
+        assert v["current_stop_sequence"] == e["stop_sequence"]
+        assert v["current_status"] == e["status"]
+
+
+# --- sequence packing: invariants for arbitrary token-size multisets ---
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 900), min_size=1, max_size=40))
+def test_packing_invariants_for_any_sizes(spark, sizes):
+    from transit_feed_etl_spark.operators.packing import pack_documents
+    from transit_feed_etl_spark.operators.minhash import portable_hash60
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens int"
+    ).withColumn("h", portable_hash60(F.col("doc_id").cast("string")))
+    rows = pack_documents(df, budget=512, n_buckets=3).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(sizes)))
+    by_pack: dict[int, list[int]] = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+        assert r["pack_id"] // 100_000 == r["bucket"]
+    for toks in by_pack.values():
+        assert sum(toks) <= 512 or len(toks) == 1

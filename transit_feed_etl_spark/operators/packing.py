@@ -55,14 +55,18 @@ def pack_documents(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["h", "doc_id"], ignore_index=True)
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
-        packs, acc, pack = [], 0, 0
+        # close on document COUNT, not acc > 0: zero-token docs keep acc
+        # at 0, and an oversized doc must not join their pack (found by
+        # the hypothesis invariant test — sizes=[0, 513] packed together)
+        packs, acc, in_pack, pack = [], 0, 0, 0
         for tok in pdf["n_tokens"]:
             t = int(tok)
-            if acc > 0 and acc + t > budget:
+            if in_pack > 0 and acc + t > budget:
                 pack += 1
-                acc = t
+                acc, in_pack = t, 1
             else:
                 acc += t
+                in_pack += 1
             packs.append(pack)
         return pd.DataFrame(
             {

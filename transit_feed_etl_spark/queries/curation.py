@@ -233,13 +233,18 @@ _PACK_BUCKETS = 8
       FROM d
     ),
     fill AS (
-      SELECT bucket, rn, doc_id, n_tokens, n_tokens AS acc, 0 AS pack
+      -- cnt-based close (not acc > 0): zero-token docs keep acc at 0
+      -- and an oversized successor must still open its own pack
+      SELECT bucket, rn, doc_id, n_tokens, n_tokens AS acc,
+             1 AS cnt, 0 AS pack
       FROM o WHERE rn = 1
       UNION ALL
       SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
-             CASE WHEN f.acc > 0 AND f.acc + o.n_tokens > {_PACK_BUDGET}
+             CASE WHEN f.cnt > 0 AND f.acc + o.n_tokens > {_PACK_BUDGET}
                   THEN o.n_tokens ELSE f.acc + o.n_tokens END,
-             CASE WHEN f.acc > 0 AND f.acc + o.n_tokens > {_PACK_BUDGET}
+             CASE WHEN f.cnt > 0 AND f.acc + o.n_tokens > {_PACK_BUDGET}
+                  THEN 1 ELSE f.cnt + 1 END,
+             CASE WHEN f.cnt > 0 AND f.acc + o.n_tokens > {_PACK_BUDGET}
                   THEN f.pack + 1 ELSE f.pack END
       FROM fill f JOIN o ON o.bucket = f.bucket AND o.rn = f.rn + 1
     )
