@@ -38,6 +38,9 @@ HEADLINE = (
     "ivf_ann_topk",              # cell-pruned ANN scale path
     "tfidf_top_terms",           # text analysis: TF-IDF join pipeline
     "text_token_stats",          # text analysis: per-doc stats
+    "quality_filter_verdicts",   # curation: repetition-rule filtering
+    "benchmark_contamination",   # curation: n-gram decontamination join
+    "pack_sequences",            # curation: context-window packing
 )
 
 
