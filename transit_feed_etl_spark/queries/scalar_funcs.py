@@ -212,6 +212,84 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_semantics",
+    oracle="""
+    SELECT
+      event_id,
+      COALESCE(value, -1.0) AS v_coalesce,
+      NULLIF(event_type, 'click') AS type_unless_click,
+      CASE WHEN value IS NULL THEN 'missing' ELSE 'present' END AS presence,
+      CAST(value IS NOT NULL AS INT) AS has_value,
+      CAST((value > 10.0) AS INT) AS gt10_true,          -- NULL -> NULL
+      CAST(COALESCE(value > 10.0, FALSE) AS INT) AS gt10_3vl,
+      CASE WHEN value IS NULL AND user_id % 2 = 0 THEN 'null_even'
+           WHEN value IS NULL THEN 'null_odd'
+           ELSE 'valued' END AS null_class,
+      IFNULL(CAST(value AS VARCHAR), 'n/a') AS v_str
+    FROM events
+    WHERE event_id < 3000
+    ORDER BY event_id
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic and NULL-handling surface (the reference's
+    whole data model is null-tolerant, SURVEY §1.1): COALESCE/NULLIF/
+    IS NULL classification, NULL-propagating comparisons vs their
+    COALESCE-forced boolean forms, IFNULL string fallback."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.coalesce(v, F.lit(-1.0)).alias("v_coalesce"),
+        F.nullif(F.col("event_type"), F.lit("click")).alias("type_unless_click"),
+        F.when(v.isNull(), "missing").otherwise("present").alias("presence"),
+        v.isNotNull().cast("int").alias("has_value"),
+        (v > 10.0).cast("int").alias("gt10_true"),
+        F.coalesce(v > 10.0, F.lit(False)).cast("int").alias("gt10_3vl"),
+        F.when(v.isNull() & (F.col("user_id") % 2 == 0), "null_even")
+        .when(v.isNull(), "null_odd")
+        .otherwise("valued")
+        .alias("null_class"),
+        F.ifnull(v.cast("string"), F.lit("n/a")).alias("v_str"),
+    ).orderBy("event_id")
+
+
+@register(
+    "regex_functions",
+    oracle=r"""
+    SELECT
+      doc_id,
+      regexp_extract(source, '([a-z]+)([0-9]*)', 1) AS src_word,
+      regexp_replace(lower(text), '[0-9]+', '#', 'g') AS text_masked_head,
+      CAST(LEN(regexp_extract_all(text, '[A-Z][a-z]+')) AS INT) AS n_capitalized,
+      CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END
+        AS src_shape_ok,
+      regexp_extract(text, '\b([a-z]{4})\b', 1) AS first_4letter
+    FROM (SELECT doc_id, source, SUBSTR(text, 1, 80) AS text FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface over the portable Java/RE2 subset
+    (char classes, anchors, word boundaries, capture groups — no
+    lookaround, which RE2 lacks): extract, global replace,
+    extract_all count, full-match test."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 80).alias("text")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"([a-z]+)([0-9]*)", 1).alias("src_word"),
+        F.regexp_replace(F.lower("text"), r"[0-9]+", "#").alias("text_masked_head"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Z][a-z]+"))).alias(
+            "n_capitalized"
+        ),
+        F.col("source").rlike(r"^src[0-9]+$").cast("int").alias("src_shape_ok"),
+        F.regexp_extract("text", r"\b([a-z]{4})\b", 1).alias("first_4letter"),
+    ).orderBy("doc_id")
+
+
+@register(
     "json_extraction",
     oracle="""
     SELECT
