@@ -26,6 +26,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # array-typed columns surface as ndarray (duckdb) / list
+            # (spark) cells — neither sortable/hashable; normalize both
+            # to tuples so the order-insensitive compare works
+            def _tupled(v):
+                if isinstance(v, (str, bytes)) or v is None:
+                    return v
+                if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+                    return tuple(v)
+                return v
+
+            df[c] = df[c].map(_tupled)
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
 
 

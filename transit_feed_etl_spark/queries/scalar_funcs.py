@@ -290,6 +290,91 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(toks) AS INT) AS n_toks,
+           -- array results serialize to strings: keeps the driver's
+           -- value hash on scalar ground while the array ops still run
+           -- DuckDB array_to_string of an empty list is NULL; Spark
+           -- array_join gives '' — coalesce to match
+           COALESCE(array_to_string(list_sort(list_distinct(toks))[1:5], ','), '')
+             AS first5_sorted,
+           CAST(list_position(toks, 'the') AS INT) AS pos_the,
+           CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END AS has_data,
+           list_reverse(toks)[1] AS last_tok,
+           array_to_string(toks[1:3], '-') AS head_joined,
+           COALESCE(array_to_string(list_filter(toks, t -> LEN(t) >= 6)[1:3], ','), '')
+             AS long_toks
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')
+               AS toks
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface (Part B array/map/json row): sort, distinct,
+    slice, position, contains, reverse, join, lambda filter — all
+    higher-order Catalyst expressions, no explode and no Python."""
+    from transit_feed_etl_spark.operators import textfns as TX
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens("text").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("toks")), 1, 5), ","
+        ).alias("first5_sorted"),
+        F.array_position("toks", "the").cast("int").alias("pos_the"),
+        F.array_contains("toks", "data").cast("int").alias("has_data"),
+        F.element_at(F.reverse("toks"), 1).alias("last_tok"),
+        F.array_join(F.slice("toks", 1, 3), "-").alias("head_joined"),
+        F.array_join(
+            F.slice(F.filter("toks", lambda t: F.length(t) >= 6), 1, 3), ","
+        ).alias("long_toks"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "bitwise_functions",
+    oracle="""
+    SELECT event_id,
+           user_id & 255 AS low_byte,
+           user_id | 4096 AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           user_id << 3 AS shifted_up,
+           user_id >> 2 AS shifted_down,
+           CAST(bit_count(CAST(user_id AS BIGINT)) AS INT) AS popcount,
+           ~user_id AS inverted
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: and/or/xor/shifts/popcount/not — the
+    primitive layer under the SimHash/Morton operators, exposed as a
+    query so the cross-engine semantics (sign, width) are pinned."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    u = F.col("user_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("low_byte"),
+        u.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        u.bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft(u, 3).alias("shifted_up"),
+        F.shiftright(u, 2).alias("shifted_down"),
+        F.bit_count(u.cast("long")).alias("popcount"),
+        F.bitwise_not(u).alias("inverted"),
+    ).orderBy("event_id")
+
+
+@register(
     "json_extraction",
     oracle="""
     SELECT
