@@ -76,10 +76,12 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_exact: bool = True) -> list
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            if x is None or (isinstance(x, float) and math.isnan(x)):
-                if y is None or (isinstance(y, float) and math.isnan(y)):
+            x_null = x is None or (not isinstance(x, (tuple, list)) and pd.isna(x))
+            y_null = y is None or (not isinstance(y, (tuple, list)) and pd.isna(y))
+            if x_null or y_null:
+                if x_null and y_null:  # None / nan / NaT all count as NULL
                     continue
-                problems.append(f"col {c} row {i}: spark NULL vs oracle {y!r}")
+                problems.append(f"col {c} row {i}: spark {x!r} vs oracle {y!r}")
                 break
             if isinstance(x, float) and isinstance(y, float):
                 if x == y or (not float_exact and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)):

@@ -281,3 +281,11 @@ def test_pack_sequences_single_shuffle_per_bucket_fold(spark):
     plan = _final_plan(pack_documents(prepped))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    """scd2_user_state: the lag pass and the lead pass share the
+    (user_id) partitioning and ordering prefix — one hash exchange, not
+    two."""
+    plan = _final_plan(QUERIES["scd2_user_state"].builder(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan

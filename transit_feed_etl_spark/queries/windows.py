@@ -301,3 +301,48 @@ def ntile_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_orderpriority"), F.col("pct_rank").asc(), F.col("o_orderkey").asc())
         .limit(1000)
     )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM (
+      -- state CHANGES only: collapse runs of the same event_type
+      SELECT user_id, event_type, ts FROM (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE user_id < 50
+      ) WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event stream:
+    collapse consecutive same-state events (lag), then derive
+    [valid_from, valid_to) intervals with lead — the standard
+    warehouse temporal-dimension pattern. Two window passes over the
+    SAME (user_id, ts) ordering, so Catalyst plans ONE exchange and
+    sorts once; at 100 TB the state table partitions by user key with
+    no self-join."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wl))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"))
+    )
+    wv = W.partitionBy("user_id").orderBy("valid_from")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn(
+            "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        )
+        .select("user_id", "state", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "valid_from")
+    )
