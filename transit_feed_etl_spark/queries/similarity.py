@@ -598,15 +598,49 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_topk(v, cent)
 
 
-@register("quantized_cosine_topk", oracle=None)  # int8 scores: engine-specific
+@register(
+    "quantized_cosine_topk",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             127.0 / GREATEST(list_max(list_transform(embedding,
+                       x -> ABS(CAST(x AS DOUBLE)))), 1e-12) AS scale
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * scale)) AS qv
+      FROM s
+    ),
+    v AS (
+      SELECT vec_id, qv, {_NORM_SQL.format(a="qv")} AS qnrm FROM n
+    ),
+    q AS (SELECT vec_id AS qid, qv AS q_qv, qnrm AS q_qnrm FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             ROUND({_DOT_SQL.format(a="q.q_qv", b="c.qv")}
+                   / (q.q_qnrm * c.qnrm), 4) AS score
+      FROM q JOIN v c ON c.vec_id <> q.qid
+    )
+    SELECT qid, nid, score, rnk FROM (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
 def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-5 over int8-QUANTIZED vectors (the compressed 100 TB
     serving path pairing with `embedding_quantization`): score = integer
     dot product of quantized arrays rescaled by the two per-vector
     scales. 4x less memory/broadcast volume than float32 with ~1e-2
     score error — tests/test_oracle_parity.py asserts recall@5 >= 0.9
-    against the exact `cosine_topk_bruteforce`. Rows-only driver check
-    (quantization rounding is engine-specific)."""
+    against the exact `cosine_topk_bruteforce`. Oracle: the SAME
+    HALF_UP rounding hash-matches engine-to-engine (proven by
+    `embedding_quantization`), so the quantized scores are fully
+    value-checked, not rows-only."""
     emb = table_par(spark, sf_dir, "embeddings")
     xd = lambda x: x.cast("double")  # noqa: E731
     max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
