@@ -289,3 +289,51 @@ def test_scd2_single_exchange_for_both_windows(spark):
     two."""
     plan = _final_plan(QUERIES["scd2_user_state"].builder(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_chunk_documents_map_only_before_sort(spark):
+    """Chunking is explode-over-scan: the ONLY exchange in the executed
+    plan is the final deterministic orderBy (rangepartitioning); no
+    hash-partitioning shuffle anywhere — the operator itself is map-only."""
+    plan = _final_plan(QUERIES["chunk_documents"].builder(spark, SF))
+    assert "Generate explode" in plan
+    assert plan.count("hashpartitioning") == 0, plan
+    # column pruning: only doc_id + text read
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_top_bigrams_partial_agg_and_topk(spark):
+    """Heavy hitters: map-side combine (partial_count) before the single
+    bigram shuffle, and the global top-20 runs as TakeOrderedAndProject
+    (bounded heap per partition), not a full sort."""
+    plan = _final_plan(QUERIES["top_bigrams_corpus"].builder(spark, SF))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_fuzzy_pigeonhole_no_cartesian(spark):
+    """Pigeonhole blocking must produce equi-joins on the half keys —
+    never a nested-loop/cartesian candidate generation."""
+    plan = _final_plan(QUERIES["fuzzy_pairs_pigeonhole"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redaction_shuffle_free(spark):
+    """The scrub pass is pure map: zero hash exchanges (the orderBy range
+    exchange is the only one, for the deterministic oracle compare)."""
+    plan = _final_plan(QUERIES["pii_redaction"].builder(spark, SF))
+    assert plan.count("hashpartitioning") == 0, plan
+
+
+def test_price_histogram_broadcasts_extent(spark):
+    """Two-pass histogram: the 1-row min/max aggregate joins back via
+    BroadcastHashJoin or BroadcastNestedLoopJoin on a 1-row side — never
+    a shuffle of the fact table against the extent row."""
+    plan = _final_plan(QUERIES["price_histogram"].builder(spark, SF))
+    assert "Broadcast" in plan
+    # bucket groupBy gets map-side combine
+    assert "partial_count" in plan

@@ -7,6 +7,7 @@ from transit_feed_etl_spark.registry import QUERIES  # noqa: F401
 from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     aggregates,
     asof_queries,
+    cleaning,
     curation,
     dedup,
     joins,

@@ -310,3 +310,83 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "numeric_stats_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(*) AS n,
+      ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+      ROUND(stddev_samp(l_discount), 6) AS sd_discount,
+      ROUND(var_samp(l_tax), 8) AS var_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def numeric_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: Pearson correlation, sample
+    covariance / stddev / variance. All four are single-pass mergeable
+    co-moment aggregates (partial agg per partition, merge on the one
+    groupBy shuffle) — the distributed formulation Spark codegens is the
+    textbook parallel Welford/co-moment merge. Rounded (4-8 dp per
+    magnitude) so the merge-order double drift (~1e-14 relative) never
+    crosses a hash boundary."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+            F.round(F.var_samp("l_tax"), 8).alias("var_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+    WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INT), 9)
+               AS bucket,
+             o_totalprice
+      FROM orders, s
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets over the observed [min, max]):
+    the two-pass distributed pattern — a 1-row global-extent aggregate
+    broadcast to the scan, then arithmetic bucketing + one groupBy on the
+    10-value bucket key. Bucket arithmetic is identical double math in
+    both engines, so FLOOR lands identically; no width_bucket dependency."""
+    o = table(spark, sf_dir, "orders")
+    s = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    b = o.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10.0)).cast("int"),
+            F.lit(9),
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )

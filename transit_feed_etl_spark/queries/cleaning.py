@@ -1,0 +1,294 @@
+"""Data-cleaning operators for LLM training pipelines (EXT, north star):
+PII redaction, intra-document repetition signals (Gopher-style), document
+chunking for context windows, corpus-level n-gram heavy hitters, and a
+pigeonhole-blocked fuzzy (edit-distance) join.
+
+All hot paths are pure Catalyst expressions (higher-order array
+functions, regexp_*) — JVM-side, codegen'd, no Python. The only shuffles
+are the final small aggregations; the per-document work is
+embarrassingly-parallel map, which is exactly the 100 TB shape.
+
+Cross-engine determinism: regex patterns are restricted to the syntax
+subset Java regex and RE2 (DuckDB) agree on (`\\d`, `\\w`, char classes,
+bounded repeats); fingerprints use md5 (identical hex both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table, table_par
+from transit_feed_etl_spark.operators import textfns as TX
+from transit_feed_etl_spark.registry import register
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+
+# Regex subset valid AND equivalent in Java regex and RE2.
+_EMAIL_RE = r"[a-z0-9#._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-\d{3}-555-\d{4}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at ' || lower(c_name)
+               || '@example.com or +1-'
+               || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')
+               || '-555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+      FROM customer
+    ),
+    r AS (
+      SELECT c_custkey, contact,
+             regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM c
+    )
+    SELECT c_custkey,
+           CAST(LEN(regexp_extract_all(contact, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(LEN(regexp_extract_all(contact, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(LENGTH(contact) - LENGTH(redacted) AS INT) AS chars_removed,
+           md5(redacted) AS redacted_md5
+    FROM r
+    ORDER BY c_custkey
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails + phone numbers -> placeholders) with per-row
+    entity counts. The contact text is CONSTRUCTED deterministically from
+    customer keys (the slim TPC-H schema carries no free-text PII), so the
+    redaction path is exercised with non-zero hit counts and stays fully
+    oracle-checkable. Map-only: zero shuffles; at 100 TB this is the
+    canonical embarrassingly-parallel scrub pass."""
+    c = table_par(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower("c_name"),
+        F.lit("@example.com or +1-"),
+        F.lpad((F.col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    d = c.select("c_custkey", contact.alias("contact"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("contact"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all("contact", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("contact", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        (F.length("contact") - F.length(redacted)).cast("int").alias("chars_removed"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, LEN(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS INT) AS n_tokens,
+           ROUND(CASE WHEN LEN(toks) > 0
+             THEN CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
+             ELSE 0 END, 6) AS uniq_ratio,
+           ROUND(CASE WHEN LEN(toks) > 0
+             THEN CAST(list_max(list_transform(list_distinct(toks),
+                    u -> LEN(list_filter(toks, x -> x = u)))) AS DOUBLE) / LEN(toks)
+             ELSE 0 END, 6) AS top_token_share,
+           CAST(CASE WHEN LEN(bgs) > 0
+             THEN list_max(list_transform(list_distinct(bgs),
+                    u -> LEN(list_filter(bgs, x -> x = u))))
+             ELSE 0 END AS INT) AS top_bigram_n
+    FROM b
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: distinct-token
+    ratio, most-frequent-token share, most-frequent-bigram count. Computed
+    with higher-order functions over the token array (O(tokens x distinct)
+    per row but ZERO shuffle — pure map); for book-length documents the
+    explode + partial-agg formulation trades that CPU for one doc_id
+    shuffle. Boilerplate/template docs score low uniq_ratio and high
+    top_*: the standard pre-training drop signals."""
+    d = table_par(spark, sf_dir, "documents")
+    d = d.withColumn("toks", TX.tokens("text"))
+    d = d.withColumn("bgs", TX.word_shingles(F.col("toks"), 2))
+    n = F.size("toks")
+    nb = F.size("bgs")
+
+    def _top_count(arr: str) -> F.Column:
+        return F.array_max(
+            F.transform(
+                F.array_distinct(F.col(arr)),
+                lambda u: F.size(F.filter(F.col(arr), lambda x: x == u)),
+            )
+        )
+
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n > 0, F.size(F.array_distinct("toks")).cast("double") / n)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("uniq_ratio"),
+        F.round(
+            F.when(n > 0, _top_count("toks").cast("double") / n).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_token_share"),
+        F.when(nb > 0, _top_count("bgs")).otherwise(F.lit(0)).cast("int").alias(
+            "top_bigram_n"
+        ),
+    ).orderBy("doc_id")
+
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (LENGTH(text) - 1) // {_STRIDE})) AS chunk_id,
+             text
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(LENGTH(substring(text, chunk_id * {_STRIDE} + 1, {_CHUNK})) AS INT)
+             AS n_chars,
+           md5(substring(text, chunk_id * {_STRIDE} + 1, {_CHUNK})) AS chunk_md5
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-char chunks, stride 48 — the
+    context-window prep step before tokenization/packing). sequence +
+    transform builds chunk starts lazily, explode fans out one row per
+    chunk: map-side only, no shuffle, and chunk count scales with text
+    length so the explode never amplifies beyond len/stride. Chunk
+    identity is md5 so the oracle hash-checks contents, not just shape."""
+    d = table_par(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    starts = F.sequence(F.lit(0), F.floor((F.length("text") - 1) / F.lit(_STRIDE)))
+    d = d.select("doc_id", "text", F.explode(starts).alias("chunk_id"))
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_id") * _STRIDE + 1).cast("int"), _CHUNK
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.length(chunk).cast("int").alias("n_chars"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "top_bigrams_corpus",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, LEN(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def top_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-20 word bigrams (the exact
+    formulation — boilerplate detection / contamination screening input).
+    explode -> partial count (map-side combine) -> one shuffle keyed by
+    bigram -> global top-k via TakeOrderedAndProject: the shuffle carries
+    one row per DISTINCT bigram per partition, not per occurrence.
+    Deterministic total order: (count DESC, bigram ASC)."""
+    d = table_par(spark, sf_dir, "documents")
+    bgs = TX.word_shingles(TX.tokens("text"), 2)
+    return (
+        d.select(F.explode(bgs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+_FUZZY_MAXKEY = 300
+
+
+@register(
+    "fuzzy_pairs_pigeonhole",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < {_FUZZY_MAXKEY}
+    )
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY a_key, b_key
+    """,
+)
+def fuzzy_pairs_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: customer-name pairs within edit distance 1, via
+    PIGEONHOLE BLOCKING — split each name into 2 halves; a pair within
+    distance 1 must agree exactly on at least one half, so candidates come
+    from two equi-joins (union, dedup) instead of a cross join, and
+    levenshtein runs only on candidates. The oracle is the quadratic
+    formulation — recall 1.0 is structural, not sampled. On this corpus
+    the constant 'Customer#0000…' prefix makes the half-1 block hot
+    (degenerate key, like any skewed join key); real deployments block on
+    higher-entropy halves or salt hot blocks — the candidate set is still
+    bounded by sum of block sizes squared, never n^2."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _FUZZY_MAXKEY)
+        .select("c_custkey", "c_name")
+    )
+    c = c.withColumn(
+        "h1", F.expr("substring(c_name, 1, cast(floor(length(c_name)/2) as int))")
+    ).withColumn(
+        "h2",
+        F.expr("substring(c_name, cast(floor(length(c_name)/2) as int) + 1, length(c_name))"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("h1").alias("a_h1"),
+        F.col("h2").alias("a_h2"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("h1").alias("b_h1"),
+        F.col("h2").alias("b_h2"),
+    )
+    cand1 = a.join(b, (F.col("a_h1") == F.col("b_h1")) & (F.col("a_key") < F.col("b_key")))
+    cand2 = a.join(b, (F.col("a_h2") == F.col("b_h2")) & (F.col("a_key") < F.col("b_key")))
+    cand = cand1.select("a_key", "b_key", "a_name", "b_name").union(
+        cand2.select("a_key", "b_key", "a_name", "b_name")
+    ).dropDuplicates(["a_key", "b_key"])
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        cand.filter(dist <= 1)
+        .select("a_key", "b_key", dist.cast("int").alias("dist"))
+        .orderBy("a_key", "b_key")
+    )
