@@ -316,3 +316,27 @@ def test_ingest_stream_geoparquet_mode(spark, tmp_path):
     assert geo["columns"]["geometry"]["bbox"] == [-74.0, 40.7, -74.0, 40.7]
     wkb = tbl.to_pandas()["geometry"].iloc[0]
     assert bytes(wkb[:5]) == b"\x01\x01\x00\x00\x00"  # WKB little-endian Point
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams joined on key + bounded event-time distance:
+    purchases within 30 min of a view match; outside the horizon don't."""
+    from transit_feed_etl_spark.streaming.windows import stream_stream_interval_join
+
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    views = [
+        (10, t(12, 0), 1, "view", 1.0),
+        (11, t(12, 0), 2, "view", 1.0),
+    ]
+    purchases = [
+        (20, t(12, 10), 1, "purchase", 5.0),   # within 30m of view 10
+        (21, t(13, 30), 2, "purchase", 7.0),   # 90m later: outside horizon
+    ]
+    j = stream_stream_interval_join(
+        _stream_events(spark, tmp_path, views, "ssj_v"),
+        _stream_events(spark, tmp_path, purchases, "ssj_p"),
+    )
+    _run_to_memory(j, "ssj_out")
+    out = [(r["left_id"], r["right_id"], r["lag_seconds"]) for r in
+           spark.sql("SELECT * FROM ssj_out").collect()]
+    assert out == [(10, 20, 600)]

@@ -149,3 +149,42 @@ def stateful_anomaly_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: right rows land within
+    [left.ts, left.ts + horizon] for the same key — the streaming twin of
+    the batch `range_join_shipments_in_window` / `asof_join_*` family
+    (e.g. attribute purchases to the view that preceded them).
+
+    Both sides carry watermarks AND the join condition bounds event-time
+    distance, so Spark can size the join state buffers and EVICT rows the
+    watermark has passed — without the time bound, stream-stream join
+    state grows forever (the 100 TB failure mode). Outer variants emit
+    the unmatched side only after the watermark closes its window."""
+    lv = left.withWatermark(ts_col, watermark).alias("l")
+    rv = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {horizon}"))
+    )
+    joined = lv.join(rv, cond, how)
+    return joined.select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col("r.event_id").alias("right_id"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+        (
+            F.col(f"r.{ts_col}").cast("long") - F.col(f"l.{ts_col}").cast("long")
+        ).alias("lag_seconds"),
+    )
