@@ -100,3 +100,105 @@ def asof_join_next_purchase_after_view(spark: SparkSession, sf_dir: str) -> Data
         right_id="event_id",
         right_payload=("value",),
     ).select("event_id", "user_id", "ts", "asof_event_id", "asof_value").orderBy("event_id")
+
+
+@register(
+    "point_in_time_state_join",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+    changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from FROM (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM ev
+      ) WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    u AS (
+      SELECT user_id, valid_from AS uts, 1 AS side, state,
+             NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value
+      FROM changes
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, event_id, value
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT user_id, uts, side, p_id, p_value,
+             LAST_VALUE(state IGNORE NULLS) OVER win AS state_at_event,
+             LAST_VALUE(CASE WHEN side = 1 THEN uts END IGNORE NULLS)
+               OVER win AS state_since
+      FROM u
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY uts, side, state NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT p_id AS event_id, user_id, uts AS ts, p_value AS value,
+           state_at_event, state_since
+    FROM w WHERE side = 0 AND state_at_event IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase event picks up the
+    SCD2 state STRICTLY in effect before it (pairs with `scd2_user_state`
+    — the fact-to-temporal-dimension lookup every warehouse needs). Same
+    union-carry formulation as the as-of join: one exchange on user_id,
+    one sort, zero self-joins — strict `<` semantics fall out of the
+    (ts, side) sort order with probes BEFORE same-timestamp state changes.
+    At 100 TB both inputs co-partition on the user key; no interval
+    explosion, no range join."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    from pyspark.sql import Window as W
+
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wl))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"))
+    )
+    probes = ev.filter(F.col("event_type") == "purchase")
+    r = changes.select(
+        "user_id",
+        F.col("valid_from").alias("uts"),
+        F.lit(1).alias("side"),
+        "state",
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    l = probes.select(
+        "user_id",
+        F.col("ts").alias("uts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    u = r.unionByName(l)
+    win = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("uts"), F.col("side"), F.col("state").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        "user_id",
+        "uts",
+        "side",
+        "p_id",
+        "p_value",
+        F.last("state", ignorenulls=True).over(win).alias("state_at_event"),
+        F.last(F.when(F.col("side") == 1, F.col("uts")), ignorenulls=True)
+        .over(win)
+        .alias("state_since"),
+    )
+    return (
+        carried.filter((F.col("side") == 0) & F.col("state_at_event").isNotNull())
+        .select(
+            F.col("p_id").alias("event_id"),
+            "user_id",
+            F.col("uts").alias("ts"),
+            F.col("p_value").alias("value"),
+            "state_at_event",
+            "state_since",
+        )
+        .orderBy("event_id")
+    )
