@@ -337,3 +337,38 @@ def test_price_histogram_broadcasts_extent(spark):
     assert "Broadcast" in plan
     # bucket groupBy gets map-side combine
     assert "partial_count" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
+    """DPP: joining a partitioned fact against a FILTERED small dim must
+    inject a dynamicpruning subquery into the fact scan's PartitionFilters
+    — at 100 TB this is the difference between scanning one partition and
+    scanning the table. Requires the dim side broadcast (reused exchange),
+    which AQE picks for a 2-row dim."""
+    root = str(tmp_path / "events_by_type")
+    table(spark, SF, "events").write.partitionBy("event_type").parquet(root)
+    fact = spark.read.parquet(root)
+    dim = (
+        spark.createDataFrame(
+            [("purchase", 1.5), ("signup", 9.9)], ["event_type", "weight"]
+        )
+        .filter(F.col("weight") > 2.0)  # selective dim filter -> DPP seed
+    )
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = _final_plan(j)
+    assert "dynamicpruning" in plan, plan
+
+
+def test_equidepth_deciles_no_global_data_sort(spark):
+    """Exact deciles must rank via range partitions + offsets: the DATA
+    path shows rangepartitioning (the repartitionByRange) and a window
+    keyed by partition id (hashpartitioning(_pid)), with offsets joined
+    back by BROADCAST. The only SinglePartition window runs over the
+    P-row counts frame, never the data."""
+    plan = _final_plan(QUERIES["equidepth_deciles"].builder(spark, SF))
+    assert "rangepartitioning" in plan, plan
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # the fact-side scan feeds no SinglePartition exchange directly:
+    # the only SinglePartition consumer is the counts window (P rows)
+    assert plan.count("Exchange SinglePartition") <= 1, plan

@@ -390,3 +390,47 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "equidepth_deciles",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+    FROM r GROUP BY decile ORDER BY decile
+    """,
+)
+def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (exact NTILE deciles) computed WITHOUT a
+    single-partition window: `operators/ranking.global_rank` range-
+    partitions on (price, orderkey), derives exact global ranks from
+    per-partition offsets, and `ntile_from_rank` reproduces the ANSI
+    NTILE distribution arithmetically. The oracle IS the single-node
+    NTILE window — value-identical output, scalable plan
+    (tests/test_plans.py pins the absence of a single-partition sort)."""
+    from transit_feed_etl_spark.operators.ranking import global_rank, ntile_from_rank
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"])
+    n_total = o.count()
+    d = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("rnk"), F.lit(n_total), 10)
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("decile")
+    )
