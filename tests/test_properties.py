@@ -272,3 +272,28 @@ def test_packing_invariants_for_any_sizes(spark, sizes):
         assert r["pack_id"] // 100_000 == r["bucket"]
     for toks in by_pack.values():
         assert sum(toks) <= 512 or len(toks) == 1
+
+
+def test_misra_gries_completeness_guarantee(spark):
+    """MG sketch contract: after a distributed build with k counters over
+    N items, every item whose TRUE count exceeds N/(k+1) appears in the
+    summary, and estimates never exceed true counts (one-sided error)."""
+    from transit_feed_etl_spark.operators import textfns as TX
+    from transit_feed_etl_spark.operators.sketches import misra_gries_topk
+    from transit_feed_etl_spark.io import table_par
+    from pyspark.sql import functions as F
+
+    k = 32
+    d = table_par(spark, "/root/testdata/sf0.001", "documents")
+    bgs = d.select(F.explode(TX.word_shingles(TX.tokens("text"), 2)).alias("bigram"))
+    exact = {r["bigram"]: r["n"] for r in
+             bgs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+    sketch = {r["bigram"]: r["est_count"] for r in
+              misra_gries_topk(bgs, "bigram", k=k).collect()}
+    threshold = n_total / (k + 1)
+    for item, cnt in exact.items():
+        if cnt > threshold:
+            assert item in sketch, (item, cnt, threshold)
+    for item, est in sketch.items():
+        assert est <= exact[item], (item, est, exact[item])

@@ -292,3 +292,18 @@ def fuzzy_pairs_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_key", "b_key", dist.cast("int").alias("dist"))
         .orderBy("a_key", "b_key")
     )
+
+
+@register("approx_top_bigrams", oracle=None)  # sketch: partition-order dependent
+def approx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter bigrams via the mergeable Misra-Gries sketch
+    (operators/sketches.py): bounded k=32 counters per partition + one
+    tiny merge — the 100 TB path when the distinct-bigram set no longer
+    fits a groupBy shuffle. Rows-only driver check (estimates depend on
+    partition order); tests/test_properties.py pins the sketch guarantee:
+    every bigram with true count > N/(k+1) MUST appear."""
+    from transit_feed_etl_spark.operators.sketches import misra_gries_topk
+
+    d = table_par(spark, sf_dir, "documents")
+    bgs = d.select(F.explode(TX.word_shingles(TX.tokens("text"), 2)).alias("bigram"))
+    return misra_gries_topk(bgs, "bigram", k=32)
