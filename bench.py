@@ -41,6 +41,10 @@ HEADLINE = (
     "quality_filter_verdicts",   # curation: repetition-rule filtering
     "benchmark_contamination",   # curation: n-gram decontamination join
     "pack_sequences",            # curation: context-window packing
+    "doc_repetition_scores",     # cleaning: Gopher-style repetition signals
+    "chunk_documents",           # cleaning: context-window chunking
+    "point_in_time_state_join",  # temporal fact->SCD2 dimension lookup
+    "equidepth_deciles",         # distributed exact global ranking
 )
 
 
