@@ -13,6 +13,7 @@ from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     joins,
     media,
     relational,
+    reshape,
     scalar_funcs,
     setops,
     similarity,

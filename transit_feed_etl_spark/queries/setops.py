@@ -67,3 +67,41 @@ def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("nationkey")
     )
+
+
+@register(
+    "except_all_open_order_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_custkey
+    """,
+)
+def except_all_open_order_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics — multiplicity preserved, unlike
+    the distinct-making EXCEPT): customers' open-order slots minus their
+    urgent-order slots. Catalyst plans this as a count-tagged aggregate
+    + generate, one shuffle; no distinct collapse."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.exceptAll(b).orderBy("o_custkey")
+
+
+@register(
+    "intersect_all_buyer_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+)
+def intersect_all_buyer_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: per-customer min(multiplicity) of open vs finished
+    orders — the multiset intersection."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b).orderBy("o_custkey")
