@@ -13,7 +13,7 @@ shuffle on the join key; AQE handles skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from transit_feed_etl_spark.io import table
@@ -280,3 +280,61 @@ def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = r.select(F.col("r_name").alias("name_a"))
     b = r.select(F.col("r_name").alias("name_b"))
     return a.crossJoin(b).filter(F.col("name_a") < F.col("name_b"))
+
+
+@register(
+    "merge_upsert_user_profiles",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type AS state, ts AS last_ts FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      ) WHERE rn = 1
+    ),
+    updates AS (
+      SELECT user_id, event_type AS state, ts AS last_ts FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      ) WHERE rn = 1
+    )
+    SELECT user_id, state, last_ts, 'update' AS src FROM updates
+    UNION ALL
+    SELECT b.user_id, b.state, b.last_ts, 'base' AS src
+    FROM base b WHERE NOT EXISTS (
+      SELECT 1 FROM updates u WHERE u.user_id = b.user_id)
+    ORDER BY user_id
+    """,
+)
+def merge_upsert_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (SCD1) expressed Spark-first on immutable parquet:
+    updates-side rows WIN per key, untouched base rows survive via a
+    LEFT ANTI join, and the union is the rewritten snapshot — the
+    standard copy-on-write merge a lakehouse table format performs under
+    `MERGE INTO`. Both 'latest per key' picks are ranking windows
+    (WindowGroupLimit, one exchange each on user_id); the anti join
+    reuses the same key so AQE coalesces its shuffle."""
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", F.col("event_type").alias("state"), F.col("ts").alias("last_ts")
+            )
+        )
+
+    base = latest(ev.filter(F.col("ts") < cutoff))
+    updates = latest(ev.filter(F.col("ts") >= cutoff))
+    kept = base.join(updates.select("user_id"), "user_id", "left_anti")
+    return (
+        updates.withColumn("src", F.lit("update"))
+        .unionByName(kept.withColumn("src", F.lit("base")))
+        .orderBy("user_id")
+    )

@@ -112,3 +112,74 @@ def minutely_ingest_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_records") > 1)
         .orderBy("batch_minute")
     )
+
+
+@register(
+    "gap_fill_forward_fill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, DATE_TRUNC('minute', ts) AS m, value
+      FROM events WHERE user_id < 5
+    ),
+    agg AS (
+      SELECT user_id, m, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM e GROUP BY user_id, m
+    ),
+    bounds AS (SELECT user_id, MIN(m) AS mn, MAX(m) AS mx FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS m
+      FROM bounds
+    )
+    SELECT g.user_id, g.m AS minute_ts,
+           CAST(COALESCE(a.n, 0) AS INT) AS n_events,
+           LAST_VALUE(a.s IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.m = g.m
+    ORDER BY g.user_id, minute_ts
+    """,
+)
+def gap_fill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: densify each user's event stream onto
+    a 1-minute grid (sequence + explode between the observed bounds) and
+    FORWARD-FILL the per-minute sum across gaps (last ignorenulls frame
+    window). The grid explode is bounded by span/step per key — never a
+    cross join against a global calendar — and the fill is one window
+    over the same user_id partitioning the join already established, so
+    Catalyst plans a single exchange for join + window."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    e = ev.select(
+        "user_id", F.date_trunc("minute", "ts").alias("m"), "value"
+    )
+    agg = e.groupBy("user_id", "m").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 MINUTE"))
+            ).alias("m"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("m")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(agg, ["user_id", "m"], "left")
+        .select(
+            "user_id",
+            F.col("m").alias("minute_ts"),
+            F.coalesce("n", F.lit(0)).cast("int").alias("n_events"),
+            F.last("s", ignorenulls=True).over(wf).alias("filled_sum"),
+        )
+        .orderBy("user_id", "minute_ts")
+    )
