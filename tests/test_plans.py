@@ -372,3 +372,41 @@ def test_equidepth_deciles_no_global_data_sort(spark):
     # the fact-side scan feeds no SinglePartition exchange directly:
     # the only SinglePartition consumer is the counts window (P rows)
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: a selective creation side injects a
+    bloom_filter_agg + might_contain probe into the fact scan of a
+    shuffle join — at 100 TB this drops non-joining fact rows BEFORE the
+    shuffle. Thresholds are lowered because the test corpus is tiny; the
+    optimizer rule and plan shape are exactly what a real cluster runs."""
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, SF, "lineitem")
+        o = table(spark, SF, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _final_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
