@@ -447,3 +447,37 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+_CTE_RANK_SQL = """
+WITH rev AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+  FROM {orders} JOIN {customer} ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+)
+SELECT n.n_name, r.revenue, r.n_orders,
+       RANK() OVER (ORDER BY r.revenue DESC) AS rnk
+FROM rev r JOIN {nation} n ON n.n_nationkey = r.c_nationkey
+ORDER BY rnk, n_name
+"""
+
+
+@register(
+    "sql_cte_nation_revenue_rank",
+    oracle=_CTE_RANK_SQL.format(orders="orders", customer="customer", nation="nation"),
+)
+def sql_cte_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `spark.sql(...)` entry path (SURVEY §3: DataFrame and SQL
+    front-ends hit the same Catalyst plan): temp views + a CTE + a join
+    + a global RANK window, executed as ONE SQL string. The oracle is
+    the IDENTICAL text modulo view names — the strongest possible
+    dialect-parity statement. Decimal revenue sums keep the rank input
+    bit-identical across engines."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        _CTE_RANK_SQL.format(orders="v_orders", customer="v_customer", nation="v_nation")
+    )
