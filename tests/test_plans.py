@@ -410,3 +410,20 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_override_catalyst(spark):
+    """Join-strategy hints are the manual override surface when stats
+    mislead the optimizer at scale: MERGE forces SortMergeJoin and
+    SHUFFLE_HASH forces ShuffledHashJoin even where Catalyst would pick
+    broadcast for the 25-row dim."""
+    li = table(spark, SF, "lineitem")
+    n = table(spark, SF, "nation")
+    merged = li.join(n.hint("merge"), li.l_suppkey == n.n_nationkey).groupBy(
+        "n_name"
+    ).count()
+    assert "SortMergeJoin" in _final_plan(merged)
+    hashed = li.join(n.hint("shuffle_hash"), li.l_suppkey == n.n_nationkey).groupBy(
+        "n_name"
+    ).count()
+    assert "ShuffledHashJoin" in _final_plan(hashed)
