@@ -672,3 +672,69 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("qid", "rnk")
     )
+
+
+@register(
+    "retrieval_join_docs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
+                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
+                   4) AS score
+      FROM q JOIN v c ON c.vec_id <> q.qid
+    ),
+    topk AS (
+      SELECT qid, nid, score, rnk FROM (
+        SELECT qid, nid, score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, nid ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= 3
+    )
+    SELECT t.qid, t.nid, t.score, t.rnk, d.lang,
+           CAST(LEN(list_filter(string_split_regex(lower(d.text), '\\W+'),
+                tok -> tok <> '')) AS INT) AS n_tokens
+    FROM topk t JOIN documents d ON d.doc_id = t.nid
+    ORDER BY qid, rnk
+    """,
+)
+def retrieval_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped retrieval pipeline: exact cosine top-3 per query vector
+    joined back to the documents table for neighbor payloads (lang,
+    token count) — the ANN-hit -> document-fetch join every retrieval
+    stack runs. The top-k result (5 queries x 3) is tiny, so Catalyst
+    broadcast-joins it against documents: no fact-side shuffle; at
+    100 TB the fetch side is a co-partitioned key lookup instead."""
+    from transit_feed_etl_spark.operators import textfns as TX
+
+    emb = table_par(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double("embedding").alias("v")).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    score = F.round(dot / (F.col("qnrm") * F.col("nrm")), 4)
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    topk = (
+        pairs.select("qid", F.col("vec_id").alias("nid"), score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    docs = table_par(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(TX.tokens("text")).alias("n_tokens")
+    )
+    return (
+        docs.join(F.broadcast(topk), F.col("doc_id") == F.col("nid"))
+        .select("qid", "nid", "score", "rnk", "lang", "n_tokens")
+        .orderBy("qid", "rnk")
+    )
