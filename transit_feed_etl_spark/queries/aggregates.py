@@ -434,3 +434,55 @@ def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "outlier_events_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS mu,
+             COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS DOUBLE) AS sumsq
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.mu)
+               / SQRT((s.sumsq - CAST(s.n AS DOUBLE) * s.mu * s.mu)
+                      / (CAST(s.n AS DOUBLE) - 1)) AS zscore
+      FROM events e JOIN s ON s.event_type = e.event_type
+    )
+    SELECT event_id, event_type, value, ROUND(zscore, 4) AS z
+    FROM z WHERE ABS(zscore) > 3.0
+    ORDER BY event_id
+    """,
+)
+def outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier filter: flag events whose value sits > 3
+    sample-stddevs from its group mean. Two-pass: per-group moments from
+    EXACT decimal sums (order-independent — the z-score inputs are
+    bit-identical in both engines, so the |z| > 3 cut never flips on
+    merge order), broadcast back onto the scan. The standard data-
+    cleaning pass before training-set statistics."""
+    ev = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        (F.sum(dec).cast("double") / F.count("value")).alias("mu"),
+        F.count("value").alias("n"),
+        F.sum(dec * dec).cast("double").alias("sumsq"),
+    )
+    z = (
+        F.col("value") - F.col("mu")
+    ) / F.sqrt(
+        (F.col("sumsq") - F.col("n").cast("double") * F.col("mu") * F.col("mu"))
+        / (F.col("n").cast("double") - 1)
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .select("event_id", "event_type", "value", F.round("zscore", 4).alias("z"))
+        .orderBy("event_id")
+    )

@@ -336,3 +336,45 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_id", "bench_id")
     )
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_H60_ID_SQL} AS hid FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN hid % 100 < 90 THEN 'train'
+                  WHEN hid % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by portable content-id
+    hash — the split survives re-runs, engine changes, repartitioning,
+    and INCREMENTAL data arrival (new docs never flip old assignments —
+    rand()/randomSplit guarantee none of those). Assignment is a pure map
+    over the scan; the per-(split, lang) audit is the only shuffle."""
+    d = table(spark, sf_dir, "documents")
+    h = F.col("hid") % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("hid", _h60_id())
+        .withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split", "lang")
+    )
