@@ -338,3 +338,46 @@ def merge_upsert_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kept.withColumn("src", F.lit("base")))
         .orderBy("user_id")
     )
+
+
+@register(
+    "nullsafe_join_lang_buckets",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, NULLIF(lang, 'en') AS lang_key FROM documents
+      WHERE doc_id < 100
+    ),
+    b AS (
+      SELECT NULLIF(lang, 'en') AS lang_key, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT a.doc_id, COALESCE(a.lang_key, '<null>') AS lang_key, b.n_docs
+    FROM a JOIN b ON a.lang_key IS NOT DISTINCT FROM b.lang_key
+    ORDER BY a.doc_id
+    """,
+)
+def nullsafe_join_lang_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    difference that loses rows in naive dimension joins. NULLIF
+    manufactures NULL keys deterministically from the corpus; the
+    null-safe condition still compiles to a hash-join (null-safe
+    equality is hashable — no nested loop)."""
+    d = table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.nullif("lang", F.lit("en")).alias("lang_key")
+    )
+    b = (
+        d.select(F.nullif("lang", F.lit("en")).alias("lang_key"))
+        .groupBy("lang_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        a.join(b, a["lang_key"].eqNullSafe(b["lang_key"]))
+        .select(
+            "doc_id",
+            F.coalesce(a["lang_key"], F.lit("<null>")).alias("lang_key"),
+            "n_docs",
+        )
+        .orderBy("doc_id")
+    )

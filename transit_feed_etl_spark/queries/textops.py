@@ -271,3 +271,57 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf")
         .orderBy("doc_id", "term")
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+    lp AS (
+      SELECT tok, CAST(ROUND(LN(cnt / total), 6) AS DECIMAL(18,6)) AS logp
+      FROM vocab, n
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lp.logp) AS DOUBLE) AS sum_logprob,
+           ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM tok JOIN lp ON lp.tok = tok.tok
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document sum/mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheap perplexity proxy used for quality filtering before a real LM
+    scores the corpus. Vocabulary (distinct tokens) is aggregated once
+    and BROADCAST back onto the exploded token stream — at 100 TB vocab
+    << corpus is the standing assumption that makes this a map-side
+    join. Determinism: each token's ln() is rounded to 6dp then summed
+    as exact DECIMAL, so the per-doc sum is merge-order-independent and
+    engine-identical (a raw double sum of logs would drift)."""
+    d = table_par(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logp").cast("double").alias("sum_logprob"),
+        )
+        .withColumn(
+            "avg_logprob", F.round(F.col("sum_logprob") / F.col("n_tokens"), 6)
+        )
+        .orderBy("doc_id")
+    )
