@@ -297,3 +297,40 @@ def test_misra_gries_completeness_guarantee(spark):
             assert item in sketch, (item, cnt, threshold)
     for item, est in sketch.items():
         assert est <= exact[item], (item, est, exact[item])
+
+
+def test_global_rank_matches_window_rank_edge_sizes(spark):
+    """Distributed exact ranking contract: for n in {1, 7, 32, 1000}
+    (fewer rows than partitions, n % buckets != 0, exact multiples) the
+    range+offset rank equals the single-partition row_number, and
+    ntile_from_rank equals ANSI NTILE for 3 and 10 buckets."""
+    from pyspark.sql import Window as W, functions as F
+    from transit_feed_etl_spark.operators.ranking import global_rank, ntile_from_rank
+
+    for n in (1, 7, 32, 1000):
+        df = spark.range(n).select(
+            (F.xxhash64("id") % 97).alias("v"), F.col("id")
+        )
+        got = {
+            r["id"]: r["rnk"]
+            for r in global_rank(df, ["v", "id"]).collect()
+        }
+        w = W.orderBy("v", "id")
+        want = {
+            r["id"]: r["rnk"]
+            for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+        }
+        assert got == want, n
+        for b in (3, 10):
+            gr = global_rank(df, ["v", "id"])
+            got_t = {
+                r["id"]: r["t"]
+                for r in gr.withColumn(
+                    "t", ntile_from_rank(F.col("rnk"), F.lit(n), b)
+                ).collect()
+            }
+            want_t = {
+                r["id"]: r["t"]
+                for r in df.withColumn("t", F.ntile(b).over(w)).collect()
+            }
+            assert got_t == want_t, (n, b)
