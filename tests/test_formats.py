@@ -95,3 +95,23 @@ def test_sink_roundtrips_csv_json_orc(spark, tmp_path):
     for fmt, back in out.items():
         got = {tuple(r) for r in back.select("id", "name", "score").collect()}
         assert got == want, (fmt, got)
+
+
+def test_text_log_parsing_with_quarantine(spark, tmp_path):
+    """spark.read.text + regex grammar: well-formed lines parse into
+    typed columns, garbage lines land in quarantine, nothing is lost."""
+    lines = [
+        "2024-03-01T12:00:00 INFO [ingest] batch 17 ok",
+        "2024-03-01T12:00:05 WARN [catalog] slow insert",
+        "not a log line at all",
+        "2024-03-01T12:00:09 ERROR [sink] write failed",
+    ]
+    p = tmp_path / "app.log"
+    p.write_text("\n".join(lines))
+    ok, bad = FMT.read_text_logs(spark, str(p))
+    rows = {r["level"]: r for r in ok.collect()}
+    assert set(rows) == {"INFO", "WARN", "ERROR"}
+    assert rows["WARN"]["component"] == "catalog"
+    assert rows["ERROR"]["message"] == "write failed"
+    assert rows["INFO"]["ts"].minute == 0
+    assert [r["value"] for r in bad.collect()] == ["not a log line at all"]

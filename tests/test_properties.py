@@ -334,3 +334,43 @@ def test_global_rank_matches_window_rank_edge_sizes(spark):
                 for r in df.withColumn("t", F.ntile(b).over(w)).collect()
             }
             assert got_t == want_t, (n, b)
+
+
+def test_pigeonhole_blocking_finds_every_distance1_pair(spark):
+    """Structural recall contract of the fuzzy join: ANY pair of
+    equal-length strings within edit distance 1 agrees exactly on at
+    least one half (pigeonhole), so the two half-keyed equi-joins plus
+    levenshtein filter find exactly what the quadratic scan finds."""
+    from pyspark.sql import functions as F
+
+    base = "abcdefgh"
+    variants = [base] + [
+        base[:i] + c + base[i + 1 :]
+        for i in range(len(base))
+        for c in ("x", "z")
+    ] + ["zzzzzzzz", "abxdefgx"]  # distance-2 decoys that must NOT match base
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(variants)], ["k", "s"]
+    )
+    half = len(base) // 2
+    a = df.select(F.col("k").alias("ak"), F.col("s").alias("as_"),
+                  F.substring("s", 1, half).alias("h1"),
+                  F.substring("s", half + 1, half).alias("h2"))
+    b = df.select(F.col("k").alias("bk"), F.col("s").alias("bs"),
+                  F.substring("s", 1, half).alias("g1"),
+                  F.substring("s", half + 1, half).alias("g2"))
+    c1 = a.join(b, (F.col("h1") == F.col("g1")) & (F.col("ak") < F.col("bk")))
+    c2 = a.join(b, (F.col("h2") == F.col("g2")) & (F.col("ak") < F.col("bk")))
+    cand = c1.select("ak", "bk", "as_", "bs").union(
+        c2.select("ak", "bk", "as_", "bs")
+    ).dropDuplicates(["ak", "bk"])
+    blocked = {
+        (r["ak"], r["bk"])
+        for r in cand.filter(F.levenshtein("as_", "bs") <= 1).collect()
+    }
+    quad = a.crossJoin(b).filter(
+        (F.col("ak") < F.col("bk")) & (F.levenshtein("as_", "bs") <= 1)
+    )
+    exact = {(r["ak"], r["bk"]) for r in quad.collect()}
+    assert blocked == exact
+    assert len(exact) > 10  # the corpus genuinely exercises the property

@@ -138,3 +138,33 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — Spark-native columnar alternative to parquet, with the
     same predicate-pushdown/column-pruning behavior at read time."""
     df.write.mode(mode).orc(path)
+
+
+LOG_LINE_RE = (
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\s+(\w+)\s+\[([^\]]+)\]\s+(.*)$"
+)
+
+
+def read_text_logs(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Unstructured-text source: `spark.read.text` + regexp_extract into
+    (ts, level, component, message) — the classic log-parsing scan.
+    Returns (parsed, quarantine): lines that don't match the grammar go
+    to the quarantine frame instead of producing silent NULL rows (same
+    per-item isolation contract as the CSV/JSON readers). Parsing is a
+    pure projection over the scan — no shuffle, trivially 100 TB-able."""
+    raw = spark.read.text(path)
+    ext = raw.select(
+        "value",
+        F.regexp_extract("value", LOG_LINE_RE, 1).alias("ts_raw"),
+        F.regexp_extract("value", LOG_LINE_RE, 2).alias("level"),
+        F.regexp_extract("value", LOG_LINE_RE, 3).alias("component"),
+        F.regexp_extract("value", LOG_LINE_RE, 4).alias("message"),
+    )
+    ok = ext.filter(F.col("ts_raw") != "").select(
+        F.to_timestamp("ts_raw", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        "level",
+        "component",
+        "message",
+    )
+    bad = ext.filter(F.col("ts_raw") == "").select("value")
+    return ok, bad
