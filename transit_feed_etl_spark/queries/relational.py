@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_feed_etl_spark.io import table, table_par
-from transit_feed_etl_spark.registry import dsum, register
+from transit_feed_etl_spark.registry import register
 
 # --------------------------------------------------------------------------
 # Flagship: TPC-H Q1-shaped pricing summary (filter + grouped multi-agg +

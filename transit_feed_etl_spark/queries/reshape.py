@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transit_feed_etl_spark.io import table, table_par
+from transit_feed_etl_spark.io import table
 from transit_feed_etl_spark.operators import textfns as TX
 from transit_feed_etl_spark.registry import register
 
