@@ -427,3 +427,49 @@ def test_join_strategy_hints_override_catalyst(spark):
         "n_name"
     ).count()
     assert "ShuffledHashJoin" in _final_plan(hashed)
+
+
+def test_point_in_time_join_has_no_join_operator(spark):
+    """The temporal lookup is union-carry: the executed plan contains NO
+    join operator at all — every exchange is keyed on user_id. The
+    classic interval-join formulation would be a range join; this shape
+    is strictly cheaper and skew-follows the key distribution."""
+    plan = _final_plan(QUERIES["point_in_time_state_join"].builder(spark, SF))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_gap_fill_no_cartesian_grid(spark):
+    """Grid densification must come from per-key sequence+explode —
+    never a calendar cross join; all data exchanges stay on user_id."""
+    plan = _final_plan(QUERIES["gap_fill_forward_fill"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    import re
+
+    keys = {m.split("#")[0] for m in re.findall(r"hashpartitioning\((\w+#\d+)", plan)}
+    assert keys <= {"user_id"}, keys
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """vocab << corpus: the per-token logprob table must reach the
+    exploded token stream via broadcast, not a tok-keyed shuffle of the
+    corpus side."""
+    plan = _final_plan(QUERIES["doc_unigram_logprob"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merge_upsert_broadcast_anti_join(spark):
+    """The SCD1 merge's anti join keys on the updates side (small) —
+    broadcast, never a shuffle of the base snapshot."""
+    plan = _final_plan(QUERIES["merge_upsert_user_profiles"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retrieval_join_single_window_exchange(spark):
+    """Retrieval pipeline: one qid-keyed exchange for the top-k window;
+    the document fetch is a broadcast join of the tiny hit set."""
+    plan = _final_plan(QUERIES["retrieval_join_docs"].builder(spark, SF))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan

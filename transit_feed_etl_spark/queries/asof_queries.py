@@ -142,9 +142,11 @@ def point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (temporal) join: each purchase event picks up the
     SCD2 state STRICTLY in effect before it (pairs with `scd2_user_state`
     — the fact-to-temporal-dimension lookup every warehouse needs). Same
-    union-carry formulation as the as-of join: one exchange on user_id,
-    one sort, zero self-joins — strict `<` semantics fall out of the
-    (ts, side) sort order with probes BEFORE same-timestamp state changes.
+    union-carry formulation as the as-of join: ZERO join operators in
+    the plan (pinned in tests/test_plans.py) — only user_id-keyed window
+    exchanges (the change-detection lag pass and the union carry); strict
+    `<` semantics fall out of the (ts, side) sort order with probes
+    BEFORE same-timestamp state changes.
     At 100 TB both inputs co-partition on the user key; no interval
     explosion, no range join."""
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
