@@ -101,3 +101,15 @@ def test_probe_media_real_formats():
         probe_media(b"\x00" * 64)
     with _pytest.raises(ValueError):
         probe_media(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # jpeg, no SOF
+
+
+def test_pack_wav_is_byte_level_valid_container():
+    """The packed WAV parses through the REAL RIFF prober: format, and
+    duration derived from byte_rate and the data-chunk size."""
+    from transit_feed_etl_spark.operators.multimodal import pack_wav, probe_media
+
+    payload = pack_wav(media_id=7, n_samples=256, sample_rate=8000)
+    fmt, w, h, dur = probe_media(payload)
+    assert fmt == "wav" and w is None and h is None
+    assert dur == int(256 * 2 * 1000 / (8000 * 2))  # 64 ms of audio
+    assert len(payload) == 44 + 256 * 2
