@@ -332,3 +332,70 @@ def audio_window_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, AUDIO_FEATURES_SCHEMA
     )
+
+
+# ---- real BMP image path: pack + pixel decode + nearest resize ----------
+
+BMP_HEADER_LEN = 54
+
+
+def _bmp_pixels(media_id: int, w: int, h: int) -> "np.ndarray":
+    """Deterministic RGB image (h, w, 3), uint8 — closed-form so a SQL
+    oracle recomputes any pixel: v = (id*7 + x*13 + y*29 + 3*c) % 256."""
+    import numpy as np
+
+    y, x, c = np.meshgrid(
+        np.arange(h, dtype=np.int64),
+        np.arange(w, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    return ((media_id * 7 + x * 13 + y * 29 + 3 * c) % 256).astype(np.uint8)
+
+
+def pack_bmp(media_id: int, w: int, h: int) -> bytes:
+    """Byte-level-valid 24bpp BITMAPINFOHEADER BMP: BGR byte order,
+    rows bottom-up, each row padded to 4 bytes — probe_media parses it."""
+    import numpy as np
+
+    rgb = _bmp_pixels(media_id, w, h)
+    bgr = rgb[:, :, ::-1]  # file stores B,G,R
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = rows[::-1].tobytes()  # bottom-up row order
+    file_size = BMP_HEADER_LEN + len(data)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, BMP_HEADER_LEN)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    assert len(hdr) == BMP_HEADER_LEN
+    return hdr + data
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Real pixel decode (numpy only): returns (h, w, 3) RGB top-down."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError("only 24bpp supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=offset)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def resize_nearest(arr: "np.ndarray", factor: int) -> "np.ndarray":
+    """Real nearest-neighbor downsample: keep every factor-th pixel
+    (top-left anchored) — the resize stage without any imaging library."""
+    return arr[::factor, ::factor]

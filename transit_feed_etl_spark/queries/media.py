@@ -242,3 +242,76 @@ def audio_energy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wavs = d.select("doc_id").mapInPandas(pack_batches, "media_id long, payload binary")
     return audio_window_features(wavs).orderBy("media_id", "window_id")
+
+
+@register(
+    "image_resize_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + CAST(doc_id % 9 AS INT) AS w, 4 + CAST(doc_id % 7 AS INT) AS h
+      FROM documents WHERE doc_id < 100
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(range(0, w, 2)) AS x FROM d),
+    pix AS (SELECT doc_id, w, h, x, unnest(range(0, h, 2)) AS y FROM xs),
+    ch AS (
+      SELECT doc_id, w, h,
+             SUM((doc_id * 7 + x * 13 + y * 29 + 0) % 256) AS sr,
+             SUM((doc_id * 7 + x * 13 + y * 29 + 3) % 256) AS sg,
+             SUM((doc_id * 7 + x * 13 + y * 29 + 6) % 256) AS sb,
+             COUNT(*) AS n
+      FROM pix GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,
+           CAST((w + 1) // 2 AS INT) AS new_w, CAST((h + 1) // 2 AS INT) AS new_h,
+           CAST(FLOOR(CAST(sr AS DOUBLE) / n * 1e4) AS BIGINT) AS mean_r_e4,
+           CAST(FLOOR(CAST(sg AS DOUBLE) / n * 1e4) AS BIGINT) AS mean_g_e4,
+           CAST(FLOOR(CAST(sb AS DOUBLE) / n * 1e4) AS BIGINT) AS mean_b_e4
+    FROM ch
+    ORDER BY media_id
+    """,
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image path end-to-end, no imaging library: deterministic RGB
+    images packed as byte-level-valid 24bpp BMPs (bottom-up rows, BGR,
+    4-byte stride padding), pixel-DECODED with numpy, nearest-neighbor
+    RESIZED by 2, and reduced to per-channel means. The oracle recomputes
+    every sampled pixel from the closed-form generator — a wrong stride,
+    row order, channel order, or sampling anchor breaks the hash. This
+    closes the decode/resize stub gap for BMP the way the WAV path does
+    for audio; PNG/JPEG stay header-only (codec needs PIL)."""
+    from transit_feed_etl_spark.operators.multimodal import (
+        decode_bmp,
+        pack_bmp,
+        resize_nearest,
+    )
+    import numpy as np
+    import pandas as pd
+
+    d = table_par(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def batches(it):
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "orig_w", "orig_h", "new_w", "new_h",
+                "mean_r_e4", "mean_g_e4", "mean_b_e4",
+            )}
+            for mid in pdf["doc_id"]:
+                w, h = 8 + mid % 9, 4 + mid % 7
+                arr = decode_bmp(pack_bmp(mid, w, h))
+                small = resize_nearest(arr, 2)
+                means = small.astype(np.float64).mean(axis=(0, 1))
+                out["media_id"].append(mid)
+                out["orig_w"].append(w)
+                out["orig_h"].append(h)
+                out["new_h"].append(small.shape[0])
+                out["new_w"].append(small.shape[1])
+                for k, v in zip(("mean_r_e4", "mean_g_e4", "mean_b_e4"), means):
+                    out[k].append(int(np.floor(v * 1e4)))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "media_id long, orig_w int, orig_h int, new_w int, new_h int, "
+        "mean_r_e4 long, mean_g_e4 long, mean_b_e4 long"
+    )
+    return d.select("doc_id").mapInPandas(batches, schema).orderBy("media_id")
