@@ -399,3 +399,34 @@ def resize_nearest(arr: "np.ndarray", factor: int) -> "np.ndarray":
     """Real nearest-neighbor downsample: keep every factor-th pixel
     (top-left anchored) — the resize stage without any imaging library."""
     return arr[::factor, ::factor]
+
+
+# ---- video path: length-prefixed BMP frame container + frame sampling --
+
+VIDEO_MAGIC = b"VID0"
+
+
+def pack_video(media_id: int, n_frames: int, w: int, h: int) -> bytes:
+    """Minimal video container (documented custom format): 'VID0' +
+    u32le frame count, then each frame as u32le length + a REAL 24bpp
+    BMP (frame f uses generator id media_id*1000 + f, so every frame's
+    pixels are closed-form recomputable)."""
+    frames = [pack_bmp(media_id * 1000 + f, w, h) for f in range(n_frames)]
+    out = [VIDEO_MAGIC, struct.pack("<I", n_frames)]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def iter_video_frames(payload: bytes):
+    """Yield (frame_index, bmp_bytes) from the VID0 container."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    off = 8
+    for f in range(n):
+        (flen,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        yield f, payload[off : off + flen]
+        off += flen

@@ -315,3 +315,66 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_r_e4 long, mean_g_e4 long, mean_b_e4 long"
     )
     return d.select("doc_id").mapInPandas(batches, schema).orderBy("media_id")
+
+
+@register(
+    "video_frame_sample_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + CAST(doc_id % 5 AS INT) AS nf FROM documents
+      WHERE doc_id < 60
+    ),
+    fr AS (SELECT doc_id, nf, unnest(range(0, nf, 2)) AS f FROM d),
+    xs AS (SELECT doc_id, f, unnest(range(0, 8)) AS x FROM fr),
+    pix AS (SELECT doc_id, f, x, unnest(range(0, 4)) AS y FROM xs),
+    lum AS (
+      SELECT doc_id, f,
+             SUM(((doc_id * 1000 + f) * 7 + x * 13 + y * 29 + 0) % 256
+                 + ((doc_id * 1000 + f) * 7 + x * 13 + y * 29 + 3) % 256
+                 + ((doc_id * 1000 + f) * 7 + x * 13 + y * 29 + 6) % 256) AS s,
+             COUNT(*) AS n
+      FROM pix GROUP BY doc_id, f
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_id,
+           CAST(FLOOR(CAST(s AS DOUBLE) / (3 * n) * 1e4) AS BIGINT) AS mean_luma_e4
+    FROM lum
+    ORDER BY media_id, frame_id
+    """,
+)
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video container, REAL end-to-end: VID0
+    (documented custom framing: magic + u32 count + length-prefixed
+    frames) holds real 8x4 24bpp BMPs; every 2nd frame is sampled,
+    pixel-decoded with numpy, and reduced to mean luma (channel mean).
+    Per-pixel closed-form oracle — wrong frame offsets, stride, or
+    sampling cadence breaks the hash. Sampling-before-decoding is the
+    100 TB point: only sampled frames pay decode cost, and the container
+    scan is sequential byte slicing, not a codec seek."""
+    from transit_feed_etl_spark.operators.multimodal import (
+        decode_bmp,
+        iter_video_frames,
+        pack_video,
+    )
+    import numpy as np
+    import pandas as pd
+
+    d = table_par(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def batches(it):
+        for pdf in it:
+            out = {"media_id": [], "frame_id": [], "mean_luma_e4": []}
+            for mid in pdf["doc_id"]:
+                payload = pack_video(mid, 4 + mid % 5, 8, 4)
+                for f, bmp in iter_video_frames(payload):
+                    if f % 2 != 0:
+                        continue  # sample every 2nd frame; skip decode cost
+                    arr = decode_bmp(bmp).astype(np.float64)
+                    out["media_id"].append(mid)
+                    out["frame_id"].append(f)
+                    out["mean_luma_e4"].append(int(np.floor(arr.mean() * 1e4)))
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, frame_id int, mean_luma_e4 long"
+    return d.select("doc_id").mapInPandas(batches, schema).orderBy(
+        "media_id", "frame_id"
+    )
