@@ -486,3 +486,110 @@ def outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round("zscore", 4).alias("z"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "bool_aggs_order_flags",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1500.0) AS all_above_1500,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def bool_aggs_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (ALL/ANY/conditional count): bool_and /
+    bool_or / count_if — single-pass, partial-aggregatable (AND/OR are
+    associative+commutative so merge order is irrelevant)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1500.0).alias("all_above_1500"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "argmax_order_per_status",
+    oracle="""
+    WITH mx AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ),
+    mn AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    SELECT m.o_orderstatus,
+           m.o_orderkey AS max_price_orderkey, m.o_totalprice AS max_price,
+           n.o_orderkey AS min_price_orderkey, n.o_totalprice AS min_price
+    FROM (SELECT * FROM mx WHERE rn = 1) m
+    JOIN (SELECT * FROM mn WHERE rn = 1) n USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+)
+def argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX / ARG_MIN (max_by/min_by): the key of the extreme row per
+    group without a self-join or window — one partial-aggregatable pass.
+    Ties on the price are broken deterministically by composing the
+    ordering value as a (price, key) struct: max_by takes the largest
+    key among max-price rows, min_by the smallest (via -key), so both
+    engines agree even on duplicated prices."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("max_price_orderkey"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min_by(
+                "o_orderkey",
+                F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")),
+            ).alias("min_price_orderkey"),
+            F.min("o_totalprice").alias("min_price"),  # oracle mirrors via rn=1 windows
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "regression_price_vs_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / intercept / r2 /
+    count): mergeable co-moment sketches like corr — one shuffle, exact
+    merges up to double rounding (rounded per-magnitude so merge-order
+    drift can't cross a hash boundary)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
