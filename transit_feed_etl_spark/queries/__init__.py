@@ -6,6 +6,7 @@ from transit_feed_etl_spark.registry import QUERIES  # noqa: F401
 
 from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     aggregates,
+    analytics,
     asof_queries,
     cleaning,
     curation,
