@@ -432,3 +432,113 @@ def map_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("val").alias("max_val"),
         F.sum("val").alias("sum_val"),
     )
+
+
+@register(
+    "url_parse_stats",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang
+               || '/page?id=' || CAST(doc_id AS VARCHAR) || '&ref=feed' AS url
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'id=([^&]+)', 1) AS id_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u ORDER BY doc_id
+    """,
+)
+def url_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's NATIVE parse_url (HOST / PATH /
+    QUERY-param / PROTOCOL) over deterministically constructed URLs —
+    the provenance-tracking step of a crawl-curation pipeline (dedup by
+    canonical URL, per-domain quotas). The oracle mirrors parse_url with
+    anchored regexes; both are scan-stage projections, zero shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/page?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=feed"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "string_edge_functions",
+    oracle="""
+    SELECT doc_id,
+           -- DuckDB initcap-equivalent: first letter upper, rest as-is
+           UPPER(SUBSTR(lang, 1, 1)) || SUBSTR(lang, 2) AS lang_cap,
+           translate(source, 'src', 'SRC') AS src_translated,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 3) AS lang_x3,
+           LEFT(source, 3) AS src_left3,
+           RIGHT(source, 2) AS src_right2,
+           ascii(lang) AS lang_ascii,
+           lpad(CAST(doc_id AS VARCHAR), 6, '*') AS id_padded
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def string_edge_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-surface fill-in: initcap, translate, reverse, repeat,
+    left/right, ascii, lpad — all JVM built-ins in the scan stage."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.initcap("lang").alias("lang_cap"),
+        F.translate("source", "src", "SRC").alias("src_translated"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 3).alias("lang_x3"),
+        F.left("source", F.lit(3)).alias("src_left3"),
+        F.right("source", F.lit(2)).alias("src_right2"),
+        F.ascii("lang").alias("lang_ascii"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "*").alias("id_padded"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "calendar_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           -- ISO day-of-week 1=Mon..7=Sun in both engines
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+def calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar surface: quarter, month, ISO weekday, day-of-year,
+    last_day, add_months, formatting. Spark's dayofweek is 1=Sunday;
+    `weekday()+1` gives the ISO 1=Monday convention both engines agree
+    on."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso"),
+    ).orderBy("o_orderkey")
