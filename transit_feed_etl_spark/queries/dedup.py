@@ -364,3 +364,75 @@ def neardup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(
         sh, id_col="doc_id", set_col="sh", threshold=0.35
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY node),
+    j AS (
+      SELECT cc.doc_id, cc.canonical_id, d.n_chars
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    ),
+    r AS (
+      SELECT canonical_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY canonical_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY canonical_id) AS n
+      FROM j
+    )
+    SELECT canonical_id, doc_id AS survivor_doc_id,
+           CAST(n AS INT) AS cluster_size, CAST(n - 1 AS INT) AS n_dropped
+    FROM r WHERE rn = 1
+    ORDER BY canonical_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION stage: per near-dup cluster keep the
+    best-quality document (longest n_chars, doc_id tie-break) and count
+    the drops — candidates -> clusters -> survivor selection is the
+    complete near-dup pipeline a training corpus actually runs. The
+    survivor pick is one max_by aggregate over the cluster labels (no
+    window over the corpus); quality metadata joins in by doc key."""
+    from transit_feed_etl_spark.operators.components import connected_components
+    from transit_feed_etl_spark.operators.prefixfilter import jaccard_prefix_pairs
+
+    d = table_par(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    sh = persist_tracked(
+        toks.select(
+            "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+        )
+    )
+    sh.count()  # materialize before the 4-way pair-join reuse
+    pairs = persist_tracked(
+        jaccard_prefix_pairs(sh, id_col="doc_id", set_col="sh", threshold=0.35)
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+    withq = cc.join(d.select("doc_id", "n_chars"), "doc_id")
+    return (
+        withq.groupBy("canonical_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+            ).alias("survivor_doc_id"),
+            F.count(F.lit(1)).cast("int").alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).cast("int").alias("n_dropped"),
+        )
+        .orderBy("canonical_id")
+    )

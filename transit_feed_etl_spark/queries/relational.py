@@ -481,3 +481,48 @@ def sql_cte_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _CTE_RANK_SQL.format(orders="v_orders", customer="v_customer", nation="v_nation")
     )
+
+
+@register(
+    "q18_large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,3))) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): a HAVING-filtered aggregate
+    feeds an IN-subquery semi-join against the fact, then re-aggregates
+    with customer context. Catalyst turns the IN into a left-semi hash
+    join on the pre-aggregated (small) key set — the fact table is
+    scanned twice but shuffled on the same l_orderkey both times, and the
+    HAVING side's partial agg collapses before it ever joins."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dq = F.col("l_quantity").cast("decimal(18,3)")
+    big = li.groupBy("l_orderkey").agg(F.sum(dq).alias("sq")).filter(
+        F.col("sq") > 150
+    ).select("l_orderkey")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(big.withColumnRenamed("l_orderkey", "bk"),
+              F.col("bk") == o["o_orderkey"], "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dq).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

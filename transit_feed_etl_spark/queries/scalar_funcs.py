@@ -542,3 +542,41 @@ def calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "array_setops_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')
+               AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    d AS (SELECT doc_id, list_sort(list_distinct(toks)) AS u FROM t)
+    SELECT doc_id,
+           list_sort(list_intersect(u, ['the','a','and','of','key','row'])) AS common,
+           CAST(LEN(list_filter(u,
+             x -> NOT list_contains(['the','a','and','of','key','row'], x)))
+             AS INT) AS n_rest,
+           CAST(LEN(u) AS INT) AS n_uniq
+    FROM d ORDER BY doc_id
+    """,
+)
+def array_setops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect / except-count / distinct) between
+    each document's token set and a fixed vocabulary — all higher-order
+    JVM expressions in the scan stage; arrays sorted so set results are
+    order-deterministic across engines."""
+    from transit_feed_etl_spark.operators import textfns as TX
+
+    vocab = F.array(*[F.lit(x) for x in ("the", "a", "and", "of", "key", "row")])
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    u = F.array_sort(F.array_distinct(TX.tokens("text")))
+    d = d.select("doc_id", u.alias("u"))
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_intersect("u", vocab)).alias("common"),
+        F.size(F.array_except("u", vocab)).alias("n_rest"),
+        F.size("u").alias("n_uniq"),
+    ).orderBy("doc_id")
