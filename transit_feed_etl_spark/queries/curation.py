@@ -378,3 +378,40 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "weighted_sample_by_quality",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             LEAST(1.0, n_chars / 500.0) AS wt,
+             {_H60_ID_SQL} AS hid
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(FLOOR(wt * 1e6) AS BIGINT) AS wt_e6
+    FROM w
+    WHERE hid % 1000000 < CAST(FLOOR(wt * 1e6) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document is kept
+    with probability proportional to its quality weight (here
+    min(1, n_chars/500)), decided by comparing the portable content hash
+    against the integer-scaled weight — same reproducibility guarantees
+    as `hash_sample_documents` (stable across engines, partitionings,
+    and incremental arrival) but with per-document rates: the upsampling
+    /downsampling knob every data-mixing recipe needs. Pure scan-stage
+    predicate, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    wt = F.least(F.lit(1.0), F.col("n_chars") / 500.0)
+    wt_e6 = F.floor(wt * 1e6).cast("long")
+    return (
+        d.withColumn("hid", _h60_id())
+        .withColumn("wt_e6", wt_e6)
+        .filter(F.col("hid") % 1000000 < F.col("wt_e6"))
+        .select("doc_id", "lang", "n_chars", "wt_e6")
+        .orderBy("doc_id")
+    )
