@@ -115,3 +115,19 @@ def test_text_log_parsing_with_quarantine(spark, tmp_path):
     assert rows["ERROR"]["message"] == "write failed"
     assert rows["INFO"]["ts"].minute == 0
     assert [r["value"] for r in bad.collect()] == ["not a log line at all"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on read: batches written with different column
+    sets unify under mergeSchema — new columns read as NULL for old
+    files. The append-only evolution story a long-lived 100 TB dataset
+    needs (schema widens; old files never rewritten)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(p + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
