@@ -116,3 +116,70 @@ def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sent_idx
         """
     )
+
+
+@register(
+    "cogroup_user_view_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, COUNT(*) AS n_views,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(v.n_views, 0) AS BIGINT) AS n_views,
+           COALESCE(v.view_value, 0.0) AS view_value,
+           CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           COALESCE(p.purchase_value, 0.0) AS purchase_value
+    FROM v FULL OUTER JOIN p ON p.user_id = v.user_id
+    WHERE COALESCE(v.user_id, p.user_id) < 50
+    ORDER BY user_id
+    """,
+)
+def cogroup_user_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().cogroup().applyInPandas` — the two-sided custom-merge
+    escape hatch (both sides of a key arrive as pandas frames in ONE
+    function call; the shape a bespoke merge-asof or interleave needs
+    when join+agg can't express it). Both streams shuffle once on
+    user_id and co-locate; Python sees two Arrow batches per key. The
+    body computes per-side counts/sums with numpy so the FULL-OUTER
+    semantics (a key present on one side only) cross the Arrow boundary
+    and hash-match the SQL full-join oracle. Decimal-exact sums: the
+    per-key frame is summed with math.fsum-equivalent exact pairwise on
+    int-scaled values to stay order-independent."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+
+    def merge(key, vdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        (uid,) = key
+        # exact decimal-style sums: scale to micro-units in int64
+        vsum = int(round(vdf["value"].fillna(0.0).mul(1e6).round().sum()))
+        psum = int(round(pdf["value"].fillna(0.0).mul(1e6).round().sum()))
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_views": [len(vdf)],
+                "view_value": [vsum / 1e6],
+                "n_purchases": [len(pdf)],
+                "purchase_value": [psum / 1e6],
+            }
+        )
+
+    out_schema = (
+        "user_id long, n_views long, view_value double, "
+        "n_purchases long, purchase_value double"
+    )
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(merge, out_schema)
+        .orderBy("user_id")
+    )
