@@ -580,3 +580,37 @@ def array_setops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except("u", vocab)).alias("n_rest"),
         F.size("u").alias("n_uniq"),
     ).orderBy("doc_id")
+
+
+@register(
+    "error_safe_arithmetic",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INTEGER) AS lang_as_int,          -- always NULL
+           TRY_CAST(CAST(doc_id AS VARCHAR) AS INTEGER) AS id_roundtrip,
+           CASE WHEN (doc_id % 5) = 0 THEN NULL
+                ELSE CAST(n_chars AS DOUBLE) / (doc_id % 5) END AS safe_div,
+           CASE WHEN doc_id = 0 THEN NULL ELSE n_chars // doc_id END AS safe_intdiv
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def error_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe expression surface: try_cast on unparseable
+    strings, try_divide by zero, try integer division — NULL instead of
+    a runtime error or a silent wrong value. Under ANSI mode (Spark 4
+    default) the non-try forms THROW at 100 TB on row one-in-a-billion;
+    try_* is the production-safe projection. Oracle mirrors with
+    TRY_CAST and explicit zero guards (DuckDB's division semantics)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.try_to_number("lang", F.lit("999")).cast("int").alias("lang_as_int"),
+        F.col("doc_id").cast("string").cast("int").alias("id_roundtrip"),
+        F.try_divide(F.col("n_chars").cast("double"), F.col("doc_id") % 5).alias(
+            "safe_div"
+        ),
+        F.when(
+            F.col("doc_id") != 0,
+            F.floor(F.col("n_chars") / F.col("doc_id")).cast("long"),
+        ).alias("safe_intdiv"),
+    ).orderBy("doc_id")

@@ -20,8 +20,9 @@ COUNT on BOTH engines (one double division; no summation-order drift).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from transit_feed_etl_spark.io import register_views
+from transit_feed_etl_spark.io import register_views, table
 from transit_feed_etl_spark.registry import register
 
 # Exact-decimal average: the one double division both engines perform.
@@ -163,4 +164,33 @@ def correlated_scalar_small_qty_revenue(spark: SparkSession, sf_dir: str) -> Dat
           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
         )
         """
+    )
+
+
+@register(
+    "tuple_in_subquery",
+    oracle="""
+    SELECT l.l_orderkey, l.l_suppkey, l.l_quantity
+    FROM lineitem l
+    JOIN (SELECT l_orderkey, MIN(l_linenumber) AS l_linenumber
+          FROM lineitem GROUP BY l_orderkey) f
+      ON f.l_orderkey = l.l_orderkey AND f.l_linenumber = l.l_linenumber
+    WHERE l.l_orderkey < 2000
+    ORDER BY l.l_orderkey, l.l_suppkey
+    """,
+)
+def tuple_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column (tuple) IN subquery — first line of every order via
+    (orderkey, linenumber) membership. Catalyst rewrites the tuple IN
+    to a LEFT SEMI hash join on the composite key; the subquery side
+    pre-aggregates to one row per order before the join, so the semi
+    probe is |orders|, not |lineitem|. (DuckDB lacks the tuple-IN
+    syntax, so the oracle spells the equivalent unique-key join.)"""
+    li = table(spark, sf_dir, "lineitem")
+    firsts = li.groupBy("l_orderkey").agg(F.min("l_linenumber").alias("l_linenumber"))
+    return (
+        li.join(firsts, ["l_orderkey", "l_linenumber"], "left_semi")
+        .filter(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_suppkey")
     )

@@ -346,3 +346,51 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "state", "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "revenue_share_within_nation",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS revenue
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    )
+    SELECT c_nationkey, c_custkey, revenue,
+           ROUND(revenue / SUM(CAST(revenue AS DECIMAL(18,3)))
+                 OVER (PARTITION BY c_nationkey), 8) AS nation_share
+    FROM r
+    WHERE c_nationkey < 5
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def revenue_share_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer's share of their nation's revenue
+    — an unframed partition-total window over the pre-aggregated
+    customer rollup (window input is |customers|, never |orders|). The
+    window total goes through DECIMAL so partial-agg merge order can't
+    drift the divisor."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    r = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.partitionBy("c_nationkey")
+    total = F.sum(F.col("revenue").cast("decimal(18,3)")).over(w)
+    return (
+        r.filter(F.col("c_nationkey") < 5)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "revenue",
+            F.round(F.col("revenue") / total, 8).alias("nation_share"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
