@@ -224,3 +224,34 @@ def test_compaction_bounds_files_per_partition(spark, tmp_path):
     back = spark.read.parquet(str(out))
     assert back.count() == 12
     assert {r["vehicle_id"] for r in back.collect()} == {f"v{m}" for m in range(12)}
+
+
+def test_catalog_snapshot_time_travel(spark, tmp_path):
+    """Time travel on plain parquet via the append-only catalog: a
+    snapshot as of batch 1 sees only batch-1 files, even though batch-2
+    files share the directory tree; the history view counts cumulative
+    records per snapshot."""
+    from transit_feed_etl_spark.pipeline.catalog import FileCatalog
+    from pyspark.sql import functions as F
+
+    cat = FileCatalog(spark, str(tmp_path / "catalog"))
+    for batch_id, vals in ((1, [(1, "v1")]), (2, [(2, "v2"), (3, "v3")])):
+        p = str(tmp_path / f"data/batch_{batch_id}.parquet")
+        df = spark.createDataFrame(vals, ["k", "vehicle_id"]).select(
+            "k",
+            "vehicle_id",
+            F.lit(0.0).alias("longitude"),
+            F.lit(0.0).alias("latitude"),
+            F.current_timestamp().alias("ts"),
+        )
+        df.write.parquet(p)
+        cat.append_batch(df, batch_id=batch_id, file_path=p)
+
+    snap1 = cat.read_snapshot(1)
+    assert {r["vehicle_id"] for r in snap1.collect()} == {"v1"}
+    snap2 = cat.read_snapshot(2)
+    assert {r["vehicle_id"] for r in snap2.collect()} == {"v1", "v2", "v3"}
+    assert cat.read_snapshot(0) is None
+    hist = {r["batch_id"]: r["cumulative_records"]
+            for r in cat.snapshot_record_counts().collect()}
+    assert hist == {1: 1, 2: 3}

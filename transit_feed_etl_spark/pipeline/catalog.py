@@ -213,3 +213,50 @@ class FileCatalog:
             F.col("longitude").between(minx, maxx)
             & F.col("latitude").between(miny, maxy)
         )
+
+    # ---- snapshot / time-travel reads (lakehouse semantics on parquet)
+
+    def files_as_of(self, as_of_batch_id: int) -> list[str]:
+        """Manifest listing for a SNAPSHOT: every file the catalog had
+        registered up to and including `as_of_batch_id`. The catalog is
+        append-only, so (catalog rows WHERE batch_id <= N) IS the table
+        state after batch N committed — the same manifest-cut trick
+        Delta/Iceberg time travel uses, on plain parquet. The manifest
+        is metadata-sized; collecting it at the driver is the standard
+        pattern (file LISTS are small even when data is 100 TB)."""
+        cat = self.read()
+        return [
+            r["file_path"]
+            for r in cat.filter(F.col("batch_id") <= int(as_of_batch_id))
+            .select("file_path")
+            .distinct()
+            .collect()
+        ]
+
+    def read_snapshot(self, as_of_batch_id: int) -> DataFrame | None:
+        """Time travel: read the dataset exactly as it existed after the
+        given batch — later-ingested files are invisible even though they
+        sit in the same directory tree. Returns None for an empty
+        snapshot."""
+        files = [p for p in self.files_as_of(as_of_batch_id) if os.path.exists(p)]
+        if not files:
+            return None
+        return self.spark.read.parquet(*files)
+
+    def snapshot_record_counts(self) -> DataFrame:
+        """Audit view: cumulative record count per batch — the history
+        panel (one row per snapshot) a time-travel UI lists. Pure window
+        over the metadata table."""
+        from pyspark.sql import Window as W
+
+        w = (
+            W.orderBy("batch_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            self.read()
+            .groupBy("batch_id")
+            .agg(F.sum("record_count").alias("batch_records"))
+            .withColumn("cumulative_records", F.sum("batch_records").over(w))
+            .orderBy("batch_id")
+        )
