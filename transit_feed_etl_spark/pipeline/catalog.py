@@ -237,7 +237,14 @@ class FileCatalog:
         """Time travel: read the dataset exactly as it existed after the
         given batch — later-ingested files are invisible even though they
         sit in the same directory tree. Returns None for an empty
-        snapshot."""
+        snapshot.
+
+        Caveat (documented limitation): `compact_partitions` rewrites
+        files IN PLACE, which invalidates older snapshots' manifests —
+        a compaction-aware catalog needs add/remove actions per batch
+        (the Delta/Iceberg log structure). This catalog is append-only;
+        time travel is exact for append-only ingest, which is the
+        reference pipeline's actual write pattern."""
         files = [p for p in self.files_as_of(as_of_batch_id) if os.path.exists(p)]
         if not files:
             return None
