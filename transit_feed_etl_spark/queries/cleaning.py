@@ -307,3 +307,46 @@ def approx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_par(spark, sf_dir, "documents")
     bgs = d.select(F.explode(TX.word_shingles(TX.tokens("text"), 2)).alias("bigram"))
     return misra_gries_topk(bgs, "bigram", k=32)
+
+
+@register(
+    "cross_split_contamination",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             CASE WHEN {{h}} % 100 < 90 THEN 'train'
+                  WHEN {{h}} % 100 < 95 THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id, t.fp
+    FROM s t JOIN s tr ON tr.fp = t.fp
+    WHERE t.split = 'test' AND tr.split = 'train'
+    ORDER BY test_doc_id, train_doc_id
+    """.format(h="CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"),
+)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE detection: test-split documents whose
+    normalized-content fingerprint also appears in the train split —
+    the exact-dup cross-split check every eval pipeline must run
+    (beyond `benchmark_contamination`'s n-gram overlap, this is the
+    identity-level leak). One equi-join on the 32-byte fingerprint:
+    shuffle carries digests, never bodies; at 100 TB this is the same
+    shape as exact dedup."""
+    from transit_feed_etl_spark.operators import minhash as MH
+
+    d = table_par(spark, sf_dir, "documents")
+    h = MH.portable_hash60(F.col("doc_id").cast("string")) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    s = d.select("doc_id", fp.alias("fp"), split.alias("split"))
+    t = s.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "fp"
+    )
+    tr = s.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), F.col("fp").alias("fp2")
+    )
+    return (
+        t.join(tr, F.col("fp") == F.col("fp2"))
+        .select("test_doc_id", "train_doc_id", "fp")
+        .orderBy("test_doc_id", "train_doc_id")
+    )

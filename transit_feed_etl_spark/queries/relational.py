@@ -526,3 +526,30 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "group_by_all_sql",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern SQL shorthand both engines implement
+    (every non-aggregate select item becomes a grouping key). Run
+    through `spark.sql` so the SQL dialect surface itself is what is
+    tested; the oracle text is identical modulo the view name."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS total
+        FROM v_orders_gba
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )

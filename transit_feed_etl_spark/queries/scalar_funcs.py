@@ -614,3 +614,37 @@ def error_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_chars") / F.col("doc_id")).cast("long"),
         ).alias("safe_intdiv"),
     ).orderBy("doc_id")
+
+
+@register(
+    "json_struct_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           '{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang
+             || '","n":' || CAST(n_chars AS VARCHAR) || '}' AS j,
+           CAST(json_extract(
+             '{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang
+               || '","n":' || CAST(n_chars AS VARCHAR) || '}',
+             '$.n') AS BIGINT) AS n_back
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json serialization + re-extraction: struct -> canonical JSON
+    text -> field back out. Spark's to_json emits compact key:value
+    with struct-declared field order, so the TEXT ITSELF hash-matches
+    the oracle's hand-concatenated JSON — serialization is checked
+    byte-for-byte, not just parse-equivalent."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    j = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("n"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        j.alias("j"),
+        F.get_json_object(j, "$.n").cast("long").alias("n_back"),
+    ).orderBy("doc_id")
