@@ -255,3 +255,25 @@ def test_catalog_snapshot_time_travel(spark, tmp_path):
     hist = {r["batch_id"]: r["cumulative_records"]
             for r in cat.snapshot_record_counts().collect()}
     assert hist == {1: 1, 2: 3}
+
+
+def test_catalog_vacuum_dry_run_lists_orphans(spark, tmp_path):
+    """Orphan detection: a parquet file on disk with no catalog row is a
+    vacuum candidate; referenced files are never listed."""
+    from transit_feed_etl_spark.pipeline.catalog import FileCatalog
+    from pyspark.sql import functions as F
+
+    cat = FileCatalog(spark, str(tmp_path / "catalog"))
+    data_root = tmp_path / "data"
+    good = str(data_root / "good.parquet")
+    df = spark.createDataFrame([(1, "v1")], ["k", "vehicle_id"]).select(
+        "k", "vehicle_id",
+        F.lit(0.0).alias("longitude"), F.lit(0.0).alias("latitude"),
+        F.current_timestamp().alias("ts"),
+    )
+    df.write.parquet(good)
+    cat.append_batch(df, batch_id=1, file_path=good)
+    df.write.parquet(str(data_root / "orphan.parquet"))  # never cataloged
+
+    orphans = cat.unreferenced_files(str(data_root))
+    assert orphans and all("orphan.parquet" in p for p in orphans), orphans

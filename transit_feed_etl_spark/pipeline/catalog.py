@@ -267,3 +267,27 @@ class FileCatalog:
             .withColumn("cumulative_records", F.sum("batch_records").over(w))
             .orderBy("batch_id")
         )
+
+    def unreferenced_files(self, data_root: str) -> list[str]:
+        """VACUUM dry-run (inverse of `missing_files`): parquet files on
+        disk under `data_root` that NO catalog row references — orphans
+        left by failed writes or retired by compaction. Returns the
+        deletion candidates; actually deleting is the caller's decision
+        (a real vacuum also applies a retention window so in-flight
+        readers of old snapshots don't lose files mid-query)."""
+        on_disk = set()
+        for root, _, files in os.walk(data_root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    on_disk.add(os.path.join(root, f))
+        referenced = set()
+        for r in self.read().select("file_path").distinct().collect():
+            p = r["file_path"]
+            if os.path.isdir(p):
+                for root, _, files in os.walk(p):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            referenced.add(os.path.join(root, f))
+            else:
+                referenced.add(p)
+        return sorted(on_disk - referenced)

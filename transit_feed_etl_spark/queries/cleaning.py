@@ -350,3 +350,71 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("test_doc_id", "train_doc_id", "fp")
         .orderBy("test_doc_id", "train_doc_id")
     )
+
+
+@register(
+    "curation_pipeline_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    q AS (  -- stage 1: quality gate
+      SELECT doc_id, lang, text, LEN(toks) AS n_tokens
+      FROM t
+      WHERE LEN(toks) >= 20
+        AND CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) >= 0.3
+    ),
+    d AS (  -- stage 2: exact dedup, keep lowest doc_id per fingerprint
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    s AS (  -- stage 3: deterministic split
+      SELECT lang, n_tokens,
+             CASE WHEN CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100 < 95 THEN 'val' ELSE 'test' END AS split
+      FROM d
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation recipe as ONE Catalyst plan — quality gate
+    (token count + uniqueness), exact dedup (lowest-id survivor per
+    normalized fingerprint), deterministic train/val/test split, and the
+    per-(split, lang) audit — composed from this repo's individual
+    operators. One fingerprint-keyed window + one final groupBy; every
+    stage is the scan-stage expression its standalone query uses, so
+    Catalyst pipelines the gates into a single pass before the dedup
+    shuffle. This is the 'run every night over the crawl' job shape."""
+    from transit_feed_etl_spark.operators import minhash as MH
+
+    d = table_par(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    d = d.withColumn("toks", toks).withColumn("n_tokens", F.size("toks"))
+    q = d.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.size(F.array_distinct("toks")).cast("double") / F.col("n_tokens") >= 0.3)
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(fp).orderBy("doc_id")
+    dd = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    h = MH.portable_hash60(F.col("doc_id").cast("string")) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    return (
+        dd.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
