@@ -45,6 +45,7 @@ HEADLINE = (
     "chunk_documents",           # cleaning: context-window chunking
     "point_in_time_state_join",  # temporal fact->SCD2 dimension lookup
     "equidepth_deciles",         # distributed exact global ranking
+    "curation_pipeline_stats",   # flagship: gate -> dedup -> split in one plan
 )
 
 

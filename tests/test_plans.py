@@ -473,3 +473,12 @@ def test_retrieval_join_single_window_exchange(spark):
     plan = _final_plan(QUERIES["retrieval_join_docs"].builder(spark, SF))
     assert plan.count("hashpartitioning") == 1, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_pipeline_two_exchanges(spark):
+    """The composed curation recipe must stay ONE pipelined pass until
+    the fingerprint dedup window, then one groupBy — exactly two hash
+    exchanges, no extra scans of documents."""
+    plan = _final_plan(QUERIES["curation_pipeline_stats"].builder(spark, SF))
+    assert plan.count("hashpartitioning") == 2, plan
+    assert plan.count("FileScan parquet") == 1, plan
