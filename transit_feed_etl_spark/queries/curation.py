@@ -415,3 +415,72 @@ def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", "wt_e6")
         .orderBy("doc_id")
     )
+
+
+_MIX_TARGETS = (("src0", 0.5), ("src1", 0.3), ("src2", 0.2))  # target mixture
+
+
+@register(
+    "mixture_resample_by_source",
+    oracle=f"""
+    WITH tgt(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    pool AS (SELECT doc_id, source FROM documents
+             WHERE source IN ('src0', 'src1', 'src2')),
+    sizes AS (SELECT source, COUNT(*) AS n_src FROM pool GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n FROM pool),
+    rates AS (
+      SELECT s.source,
+             LEAST(1.0, t.share * (SELECT n FROM tot) / s.n_src) AS keep_rate
+      FROM sizes s JOIN tgt t ON t.source = s.source
+    ),
+    kept AS (
+      SELECT p.doc_id, p.source
+      FROM pool p JOIN rates r ON r.source = p.source
+      WHERE {_H60_ID_SQL} % 1000000 < CAST(FLOOR(r.keep_rate * 1e6) AS BIGINT)
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture targeting: down-sample each source toward target
+    corpus shares (50/30/20 here) with per-source keep rates derived
+    from actual counts, decided per document by the portable content
+    hash — deterministic, incremental-stable, and engine-reproducible
+    like every sampler in this module. Two tiny aggregates (per-source
+    counts) broadcast back onto the scan; the data pass itself is one
+    shuffle-free filter. This is the mixing step between curation and
+    packing in a training-data recipe."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin([s for s, _ in _MIX_TARGETS])
+    )
+    tgt = spark.createDataFrame(list(_MIX_TARGETS), ["source", "share"])
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    rates = (
+        sizes.join(F.broadcast(tgt), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0), F.col("share") * F.col("n") / F.col("n_src")
+            ).alias("keep_rate"),
+        )
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .withColumn("hid", _h60_id())
+        .filter(
+            F.col("hid") % 1000000
+            < F.floor(F.col("keep_rate") * 1e6).cast("long")
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
