@@ -738,3 +738,122 @@ def retrieval_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "score", "rnk", "lang", "n_tokens")
         .orderBy("qid", "rnk")
     )
+
+
+@register(
+    "truncated_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
+                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
+                   4) AS score
+      FROM q JOIN v c ON c.vec_id <> q.qid
+    )
+    SELECT qid, nid, score, rnk FROM (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def truncated_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style DIMENSION truncation: cosine top-5 on the first
+    16 of 64 dims — 4× less compute/shuffle per comparison, the standard
+    coarse-ranking stage before full-dimension re-scoring (candidate
+    generation gets cheap; the re-score pass restores quality). Slice
+    happens at the scan so only 16 doubles ever leave the projection."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.slice(V.as_double("embedding"), 1, 16).alias("v")
+    ).withColumn("nrm", V.l2_norm(F.col("v")))
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    score = F.round(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4)
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )
+
+
+@register(
+    "binary_hamming_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, {EMB_DIM} + 1),
+               i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                    THEN CAST(POWER(2, (i - 1) % 32) AS BIGINT) *
+                         CASE WHEN i <= 32 THEN 1 ELSE 0 END ELSE 0 END)) AS w0,
+             list_sum(list_transform(range(1, {EMB_DIM} + 1),
+               i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                    THEN CAST(POWER(2, (i - 1) % 32) AS BIGINT) *
+                         CASE WHEN i > 32 THEN 1 ELSE 0 END ELSE 0 END)) AS w1
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             CAST(bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1)) AS INT)
+               AS hamming
+      FROM q JOIN b c ON c.vec_id <> q.qid
+    )
+    SELECT qid, nid, hamming, rnk FROM (
+      SELECT qid, nid, hamming,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY hamming ASC, nid ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY quantization retrieval: each vector collapses to 64 sign
+    bits packed into two 32-bit words; neighbor ranking is XOR+popcount
+    Hamming distance — 32× less memory than float32 and the comparison
+    is two machine instructions, the coarsest/cheapest tier of a
+    multi-stage retrieval cascade (binary -> int8 -> float re-score,
+    all three tiers implemented in this module). Bit packing is an
+    integer-exact fold, so the oracle reproduces it verbatim."""
+    emb = table_par(spark, sf_dir, "embeddings")
+
+    def pack(lo: int, hi: int) -> F.Column:
+        idx = F.sequence(F.lit(lo), F.lit(hi))
+        return F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(V.as_double(F.col("embedding")), i.cast("int")) > 0,
+                # pow is exact for 2^k, k <= 52 — shiftleft needs a
+                # literal shift amount, which a lambda index is not
+                F.pow(F.lit(2.0), ((i - 1) % 32).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    b = emb.select("vec_id", pack(1, 32).alias("w0"), pack(33, 64).alias("w1"))
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    pairs = b.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    hamming = (
+        F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+        + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+    ).cast("int")
+    w = W.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("nid").asc())
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), hamming.alias("hamming"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )
