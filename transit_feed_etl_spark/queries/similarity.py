@@ -857,3 +857,103 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("qid", "rnk")
     )
+
+
+_PACK_SQL = """list_sum(list_transform(range({lo}, {hi} + 1),
+               i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                    THEN CAST(POWER(2, (i - {lo}) % 32) AS BIGINT) ELSE 0 END))"""
+
+
+@register(
+    "cascade_retrieval_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_PACK_SQL.format(lo=1, hi=32)} AS w0,
+             {_PACK_SQL.format(lo=33, hi=64)} AS w1
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, w0 AS q0, w1 AS q1 FROM b
+          WHERE vec_id < 10),
+    coarse AS (
+      SELECT qid, nid, qv, cv FROM (
+        SELECT q.qid, c.vec_id AS nid, q.qv, c.v AS cv,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY bit_count(xor(q.q0, c.w0))
+                          + bit_count(xor(q.q1, c.w1)) ASC, c.vec_id ASC) AS crnk
+        FROM q JOIN b c ON c.vec_id <> q.qid
+      ) WHERE crnk <= 50
+    ),
+    rescored AS (
+      SELECT qid, nid,
+             ROUND({_DOT_SQL.format(a="qv", b="cv")}
+                   / ({_NORM_SQL.format(a="qv")} * {_NORM_SQL.format(a="cv")}),
+                   4) AS score
+      FROM coarse
+    )
+    SELECT qid, nid, score, rnk FROM (
+      SELECT qid, nid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+      FROM rescored
+    ) WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def cascade_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval CASCADE in one plan: binary sign-bit Hamming
+    generates 50 coarse candidates per query (XOR+popcount over two
+    packed words — 32x cheaper than float math), then ONLY those 50 get
+    the exact float cosine re-score for the final top-5. At 100 TB the
+    expensive stage touches 50/N of the corpus per query instead of N —
+    the standard production shape (binary -> rescore; int8 and
+    Matryoshka tiers slot between the same way). End-to-end value-level
+    oracle: both stages, including the candidate cut, are reproduced in
+    SQL."""
+    emb = table_par(spark, sf_dir, "embeddings")
+
+    def pack(lo: int, hi: int) -> F.Column:
+        idx = F.sequence(F.lit(lo), F.lit(hi))
+        return F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(V.as_double(F.col("embedding")), i.cast("int")) > 0,
+                F.pow(F.lit(2.0), ((i - lo) % 32).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    b = emb.select(
+        "vec_id",
+        V.as_double("embedding").alias("v"),
+        pack(1, 32).alias("w0"),
+        pack(33, 64).alias("w1"),
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    pairs = b.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    hamming = F.bit_count(F.col("q0").bitwiseXOR(F.col("w0"))) + F.bit_count(
+        F.col("q1").bitwiseXOR(F.col("w1"))
+    )
+    wc = W.partitionBy("qid").orderBy(hamming.asc(), F.col("vec_id").asc())
+    coarse = (
+        pairs.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= 50)
+        .select("qid", F.col("vec_id").alias("nid"), "qv", F.col("v").alias("cv"))
+    )
+    score = F.round(
+        V.dot(F.col("qv"), F.col("cv"))
+        / (V.l2_norm(F.col("qv")) * V.l2_norm(F.col("cv"))),
+        4,
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        coarse.select("qid", "nid", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )
