@@ -957,3 +957,95 @@ def cascade_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("qid", "rnk")
     )
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(embedding[1:16] AS DOUBLE[]) AS v16
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, v16 AS qv16 FROM v WHERE vec_id < 10),
+    full_rank AS (
+      SELECT q.qid, c.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
+                     / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
+                     4) DESC, c.vec_id ASC) AS r
+      FROM q JOIN v c ON c.vec_id <> q.qid
+    ),
+    trunc_rank AS (
+      SELECT q.qid, c.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               ROUND({_DOT_SQL.format(a="q.qv16", b="c.v16")}
+                     / ({_NORM_SQL.format(a="q.qv16")} * {_NORM_SQL.format(a="c.v16")}),
+                     4) DESC, c.vec_id ASC) AS r
+      FROM q JOIN v c ON c.vec_id <> q.qid
+    ),
+    fused AS (
+      SELECT f.qid, f.nid,
+             CAST(FLOOR((1.0 / (60 + f.r) + 1.0 / (60 + t.r)) * 1e9) AS BIGINT)
+               AS rrf_e9
+      FROM full_rank f JOIN trunc_rank t ON t.qid = f.qid AND t.nid = f.nid
+    )
+    SELECT qid, nid, rrf_e9, rnk FROM (
+      SELECT qid, nid, rrf_e9,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY rrf_e9 DESC, nid ASC) AS rnk
+      FROM fused
+    ) WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval tiers — the full
+    64-dim cosine ranking and the Matryoshka 16-dim ranking — the
+    standard hybrid-search combiner (rank-space fusion needs no score
+    calibration between tiers). Each tier is a window ranking; fusion is
+    an equi-join on (qid, nid) + integer-scaled reciprocal sums, so the
+    result is exactly reproducible (floor-scaled e9 avoids float-tie
+    drift). At scale each tier would be its own ANN service; the fusion
+    join stays |q| x depth."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        V.as_double("embedding").alias("v"),
+        F.slice(V.as_double("embedding"), 1, 16).alias("v16"),
+    ).withColumn("nrm", V.l2_norm(F.col("v"))).withColumn(
+        "nrm16", V.l2_norm(F.col("v16"))
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("v16").alias("qv16"),
+        F.col("nrm").alias("qnrm"),
+        F.col("nrm16").alias("qnrm16"),
+    )
+    pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+
+    def tier(vec, qvec, nrm, qnrm):
+        score = F.round(
+            V.dot(F.col(qvec), F.col(vec)) / (F.col(qnrm) * F.col(nrm)), 4
+        )
+        w = W.partitionBy("qid").orderBy(score.desc(), F.col("vec_id").asc())
+        return F.row_number().over(w)
+
+    ranked = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        tier("v", "qv", "nrm", "qnrm").alias("r_full"),
+        tier("v16", "qv16", "nrm16", "qnrm16").alias("r_trunc"),
+    )
+    rrf = F.floor(
+        (1.0 / (60 + F.col("r_full")) + 1.0 / (60 + F.col("r_trunc"))) * 1e9
+    ).cast("long")
+    wf = W.partitionBy("qid").orderBy(F.col("rrf_e9").desc(), F.col("nid").asc())
+    return (
+        ranked.withColumn("rrf_e9", rrf)
+        .withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nid", "rrf_e9", "rnk")
+        .orderBy("qid", "rnk")
+    )

@@ -325,3 +325,127 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BM25_TERMS = ("key", "row", "fast", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    d AS (SELECT doc_id, toks, LEN(toks) AS dl FROM t WHERE LEN(toks) > 0),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM d
+    ),
+    terms(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+    df AS (
+      SELECT term,
+             (SELECT COUNT(*) FROM d
+              WHERE list_contains(toks, terms.term)) AS n_term
+      FROM terms
+    ),
+    idf AS (
+      SELECT term,
+             CAST(ROUND(LN(1.0 + ((SELECT n_docs FROM stats) - n_term + 0.5)
+                               / (n_term + 0.5)), 6) AS DECIMAL(18,6)) AS idf
+      FROM df
+    ),
+    tf AS (
+      SELECT d.doc_id, i.term, i.idf, d.dl,
+             LEN(list_filter(d.toks, x -> x = i.term)) AS tf
+      FROM d CROSS JOIN idf i
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(ROUND(
+             CAST(idf AS DOUBLE) * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl
+                                   / (SELECT avgdl FROM stats))), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+    FROM tf
+    GROUP BY doc_id
+    HAVING SUM(tf) > 0
+    ORDER BY doc_id
+    """,
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (k1=1.2, b=0.75) of every document
+    against a fixed query-term set — THE lexical retrieval scorer
+    (pairs with `tfidf_top_terms`; the dense tiers live in
+    similarity.py). Corpus stats (N, avgdl, per-term df) are two tiny
+    aggregates broadcast back onto a map-side per-doc score; per-term
+    partials round to 6dp then sum as exact decimals so the
+    ln()/division double work never drifts across merge orders."""
+    d = table_par(spark, sf_dir, "documents")
+    d = d.withColumn("toks", TX.tokens("text")).withColumn("dl", F.size("toks"))
+    d = d.filter(F.col("dl") > 0)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(18,3)")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    per_term = d.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.transform(
+                terms,
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(F.col("toks"), lambda x: x == t)).alias("tf"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "dl", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+    dfreq = per_term.groupBy("term").agg(
+        F.count_if(F.col("tf") > 0).alias("n_term")
+    )
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("n_term") + 0.5)
+                    / (F.col("n_term") + 0.5)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("idf"),
+        )
+    )
+    scored = (
+        per_term.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn(
+            "part",
+            F.round(
+                F.col("idf").cast("double")
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("part").cast("double").alias("bm25"),
+            F.sum("tf").alias("_tf_total"),
+        )
+        .filter(F.col("_tf_total") > 0)
+        .drop("_tf_total")
+        .orderBy("doc_id")
+    )
