@@ -1049,3 +1049,63 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "rrf_e9", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+_COSINE_PAIRS_SQL = f"""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      )
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND({_DOT_SQL.format(a="a.v", b="b.v")}
+                  / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}),
+                  4) >= 0.8
+"""
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_COSINE_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS vec_id, MIN(label) AS canonical_id FROM reach GROUP BY node)
+    SELECT vec_id, canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS INT) AS cluster_size
+    FROM cc
+    ORDER BY canonical_id, vec_id
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: cosine >= 0.8 near-dup pairs (the
+    blocked numpy kernel) resolved into transitive components — the
+    embedding-space twin of the n-gram `dedup_clusters`, proving the
+    component operator composes across similarity substrates. Same
+    min-label-propagation fixpoint, same recursive-CTE oracle."""
+    from transit_feed_etl_spark.operators.components import connected_components
+
+    emb = table_par(spark, sf_dir, "embeddings")
+    raw = V.blocked_cosine_pairs(
+        emb, "vec_id", "embedding", 0.8 - 1e-4, n_blocks=_emb_blocks(spark, sf_dir)
+    )
+    pairs = persist_tracked(
+        raw.select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+        .filter(F.col("cos") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    w = W.partitionBy("canonical_id")
+    return (
+        cc.select(F.col("node").alias("vec_id"), F.col("label").alias("canonical_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("int"))
+        .orderBy("canonical_id", "vec_id")
+    )
