@@ -593,3 +593,41 @@ def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "exact_median_via_rank",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*)
+             AS median_price
+    FROM r WHERE rnk IN ((n + 1) // 2, n // 2 + 1)
+    """,
+)
+def exact_median_via_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median via the distributed ranking operator
+    (operators/ranking.py): rank the price column with range-partition +
+    offsets, pick ranks ceil(N/2) and floor(N/2)+1, interpolate — the
+    order statistic WITHOUT a single-task sort (F.median is a grouped
+    agg needing all values per group; percentile_approx is a sketch —
+    this is the exact scalable path for order statistics)."""
+    from transit_feed_etl_spark.operators.ranking import global_rank
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()
+    lo, hi = (n + 1) // 2, n // 2 + 1
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"])
+    picked = ranked.filter(F.col("rnk").isin(lo, hi))
+    return picked.agg(
+        F.lit(n).cast("long").alias("n"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,3)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("median_price"),
+    )

@@ -1109,3 +1109,65 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("int"))
         .orderBy("canonical_id", "vec_id")
     )
+
+
+@register(
+    "embedding_mean_by_bucket",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id % 8 AS bucket, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT bucket, t.dim,
+             CAST(SUM(CAST(v[t.dim] AS DECIMAL(25,15))) AS DOUBLE) / COUNT(*) AS mean
+      FROM v CROSS JOIN (SELECT CAST(range AS INT) AS dim
+                         FROM range(1, {EMB_DIM} + 1)) t
+      GROUP BY bucket, t.dim
+    )
+    SELECT bucket, COUNT(*) AS n_dims,
+           CAST(FLOOR(SQRT(CAST(SUM(CAST(mean * mean AS DECIMAL(25,18))) AS DOUBLE))
+                * 1e6) AS BIGINT) AS centroid_norm_e6,
+           CAST(FLOOR(MAX(mean) * 1e6) AS BIGINT) AS max_dim_mean_e6
+    FROM dims
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def embedding_mean_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled centroid per group (vec_id % 8 buckets): per-dimension
+    decimal-exact means — the class-centroid / prototype-embedding
+    aggregation (same kernel the k-means trainer uses, exposed as a
+    query). posexplode + groupBy(bucket, dim) keeps the aggregation
+    PARTIAL-AGGREGATABLE (a collect_list-then-fold variant would haul
+    every vector of a group to one reducer — the shape that OOMs on a
+    hot class at 100 TB); the shuffle carries one partial decimal sum
+    per (partition, bucket, dim)."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    d = emb.select(
+        (F.col("vec_id") % 8).alias("bucket"),
+        F.posexplode(V.as_double("embedding")).alias("dim0", "x"),
+    )
+    dims = d.groupBy("bucket", "dim0").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean")
+    )
+    return (
+        dims.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.floor(
+                F.sqrt(
+                    F.sum(
+                        (F.col("mean") * F.col("mean")).cast("decimal(25,18)")
+                    ).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("centroid_norm_e6"),
+            F.floor(F.max("mean") * 1e6).cast("long").alias("max_dim_mean_e6"),
+        )
+        .orderBy("bucket")
+    )
