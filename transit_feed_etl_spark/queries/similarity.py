@@ -1171,3 +1171,156 @@ def embedding_mean_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_MMR_LAMBDA, _MMR_DEPTH, _MMR_K = 0.7, 10, 5
+
+
+def _mmr_oracle() -> str:
+    """MMR greedy selection unrolled as a CTE chain (same technique as
+    the k-means training oracle): each of the 5 steps picks, per query,
+    the candidate maximizing lambda*sim(q,c) - (1-lambda)*max_sim(c,
+    selected), with 6dp-rounded scores and nid tie-breaks — every pick
+    is value-level differential-checked."""
+    cos = (
+        f"ROUND({_DOT_SQL.format(a='{a}', b='{b}')}"
+        f" / ({_NORM_SQL.format(a='{a}')} * {_NORM_SQL.format(a='{b}')}), 4)"
+    )
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5)""",
+        f"""cand AS (
+      SELECT qid, nid, simq, cv FROM (
+        SELECT q.qid, c.vec_id AS nid, q.qv, c.v AS cv,
+               {cos.format(a='q.qv', b='c.v')} AS simq,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {cos.format(a='q.qv', b='c.v')} DESC, c.vec_id ASC) AS rn
+        FROM q JOIN v c ON c.vec_id <> q.qid
+      ) WHERE rn <= {_MMR_DEPTH}
+    )""",
+        f"""pairsim AS (
+      SELECT a.qid, a.nid AS nid1, b.nid AS nid2,
+             {cos.format(a='a.cv', b='b.cv')} AS sim
+      FROM cand a JOIN cand b ON b.qid = a.qid AND b.nid <> a.nid
+    )""",
+        """sel0 AS (SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
+                    0 AS step WHERE FALSE)""",
+    ]
+    lam = _MMR_LAMBDA
+    for k in range(1, _MMR_K + 1):
+        prev = f"sel{k - 1}"
+        parts.append(
+            f"""pick{k} AS (
+      SELECT qid, nid FROM (
+        SELECT c.qid, c.nid,
+               ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+                 ROUND({lam} * c.simq - {round(1 - lam, 10)} * COALESCE(p.pen, 0.0), 6)
+                   DESC, c.nid ASC) AS rn
+        FROM cand c
+        LEFT JOIN (
+          SELECT ps.qid, ps.nid1 AS nid, MAX(ps.sim) AS pen
+          FROM pairsim ps JOIN {prev} s ON s.qid = ps.qid AND s.nid = ps.nid2
+          GROUP BY ps.qid, ps.nid1
+        ) p ON p.qid = c.qid AND p.nid = c.nid
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                          WHERE s2.qid = c.qid AND s2.nid = c.nid)
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""sel{k} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT qid, nid, {k} AS step FROM pick{k}
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT qid, nid, CAST(step AS INT) AS step
+    FROM sel{_MMR_K}
+    ORDER BY qid, step"""
+    )
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from each query's top-10
+    cosine candidates, greedily select 5 balancing relevance against
+    redundancy (lambda=0.7) — the diversity stage after retrieval,
+    before context assembly. Greedy selection is sequential in k but
+    PARALLEL ACROSS QUERIES: each of the 5 driver-side iterations is one
+    distributed plan over the bounded (|q| x depth) candidate set, so at
+    scale the loop cost is 5 tiny jobs regardless of corpus size. The
+    oracle unrolls the identical greedy chain as CTEs — every pick
+    value-checked."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double("embedding").alias("v")).withColumn(
+        "nrm", V.l2_norm(F.col("v"))
+    )
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    simq = F.round(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4)
+    wq = W.partitionBy("qid").orderBy(simq.desc(), F.col("vec_id").asc())
+    cand = persist_tracked(
+        pairs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_DEPTH)
+        .select("qid", F.col("vec_id").alias("nid"), simq.alias("simq"), F.col("v").alias("cv"))
+    )
+    a = cand.select("qid", F.col("nid").alias("nid1"), F.col("cv").alias("v1"))
+    b = cand.select(F.col("qid").alias("qid2"), F.col("nid").alias("nid2"), F.col("cv").alias("v2"))
+    psim = F.round(
+        V.dot(F.col("v1"), F.col("v2")) / (V.l2_norm(F.col("v1")) * V.l2_norm(F.col("v2"))), 4
+    )
+    pairsim = persist_tracked(
+        a.join(b, (F.col("qid") == F.col("qid2")) & (F.col("nid1") != F.col("nid2")))
+        .select("qid", "nid1", "nid2", psim.alias("sim"))
+    )
+    sel = None  # DataFrame(qid, nid, step)
+    lam = _MMR_LAMBDA
+    for k in range(1, _MMR_K + 1):
+        if sel is None:
+            pen = None
+            remaining = cand
+        else:
+            pen = (
+                pairsim.join(
+                    sel.select(F.col("qid").alias("sq"), F.col("nid").alias("snid")),
+                    (F.col("qid") == F.col("sq")) & (F.col("nid2") == F.col("snid")),
+                )
+                .groupBy("qid", "nid1")
+                .agg(F.max("sim").alias("pen"))
+            )
+            remaining = cand.join(
+                sel.select(F.col("qid").alias("xq"), F.col("nid").alias("xnid")),
+                (F.col("qid") == F.col("xq")) & (F.col("nid") == F.col("xnid")),
+                "left_anti",
+            )
+        scored = (
+            remaining
+            if pen is None
+            else remaining.join(
+                pen,
+                (remaining["qid"] == pen["qid"]) & (remaining["nid"] == pen["nid1"]),
+                "left",
+            ).select(remaining["qid"], remaining["nid"], remaining["simq"], pen["pen"])
+        )
+        if pen is None:
+            scored = scored.select("qid", "nid", "simq", F.lit(None).cast("double").alias("pen"))
+        mmr = F.round(
+            lam * F.col("simq") - (1 - lam) * F.coalesce(F.col("pen"), F.lit(0.0)), 6
+        )
+        wp = W.partitionBy("qid").orderBy(mmr.desc(), F.col("nid").asc())
+        pick = (
+            scored.withColumn("prn", F.row_number().over(wp))
+            .filter(F.col("prn") == 1)
+            .select("qid", "nid", F.lit(k).alias("step"))
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+        sel = persist_tracked(sel)
+        sel.count()  # materialize each greedy step before the next references it
+    return sel.select("qid", "nid", F.col("step").cast("int").alias("step")).orderBy(
+        "qid", "step"
+    )
