@@ -6,13 +6,16 @@ oracle-parity gate cannot see. ~8 min at sf0.01; run before a round
 hand-off, not in the pytest loop.
 
 Usage: python tools/determinism_audit.py [sf_dir]
-Last clean run: 132/132 deterministic at sf0.01.
+Last clean run: 149/149 deterministic at sf0.01.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
