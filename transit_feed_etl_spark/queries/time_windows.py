@@ -183,3 +183,43 @@ def gap_fill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "minute_ts")
     )
+
+
+@register(
+    "windowed_dedup_batch",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             DATE_TRUNC('minute', ts)
+               - INTERVAL (CAST(EXTRACT(minute FROM ts) AS INT) % 10) MINUTE
+               AS bucket
+      FROM events WHERE user_id < 20
+    )
+    SELECT event_id, user_id, event_type, ts, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type, bucket
+        ORDER BY ts, event_id) AS rn
+      FROM b
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def windowed_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `dropDuplicatesWithinWatermark`: keep the FIRST
+    event per (user, type) within each 10-minute bucket — backfill jobs
+    must reproduce the streaming dedup semantics when reprocessing
+    history, and this is the deterministic window formulation that does
+    it (the streaming variant's horizon becomes an explicit time
+    bucket). One (key, bucket) ranking window; first-pick tie-break on
+    (ts, event_id)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    bucket = F.window("ts", "10 minutes")["start"]
+    w = W.partitionBy("user_id", "event_type", bucket).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .orderBy("event_id")
+    )
