@@ -21,6 +21,7 @@ from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     subqueries,
     textops,
     time_windows,
+    tpch_extra,
     udf_surface,
     windows,
 )
