@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from transit_feed_etl_spark.operators.asof import asof_join
-from transit_feed_etl_spark.operators.skew import salted_count_distinct
+from transit_feed_etl_spark.operators.skew import (
+    salted_count_distinct,
+    salted_grouped_topk,
+)
 from transit_feed_etl_spark.pipeline.gtfs import RAW_FEED_SCHEMA, flatten_feed
 
 SETTINGS = dict(
@@ -154,6 +157,42 @@ def test_salted_count_distinct_is_exact(spark, rows, n_salts):
     for k, v in rows:
         want.setdefault(k, set()).add(v)
     assert got == {k: len(s) for k, s in want.items()}
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        # heavy duplication on purpose: group "hot" and repeated scores
+        # exercise the total-order tie-breaking across salt buckets
+        st.tuples(
+            st.sampled_from(["hot", "b", "c"]),
+            st.integers(0, 5),
+            st.integers(0, 10_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[2],  # pk unique -> order is total
+    ),
+    k=st.sampled_from([1, 3, 7]),
+    n_salts=st.sampled_from([1, 4, 16]),
+)
+def test_salted_grouped_topk_matches_window_form(spark, rows, k, n_salts):
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(rows, "grp string, score long, pk long")
+    order = [F.col("score").desc(), F.col("pk").asc()]
+    got = sorted(
+        (r["grp"], r["pk"], r["rnk"])
+        for r in salted_grouped_topk(df, ["grp"], order, k, n_salts).collect()
+    )
+    w = W.partitionBy("grp").orderBy(*order)
+    want = sorted(
+        (r["grp"], r["pk"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    )
+    assert got == want
 
 
 @settings(**SETTINGS)

@@ -53,3 +53,50 @@ def salted_count_distinct(
         F.countDistinct(distinct_col).alias("_partial")
     )
     return phase1.groupBy(*key_cols).agg(F.sum("_partial").alias(out_col))
+
+
+def salted_grouped_topk(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Exact, skew-proof top-k per group (row_number <= k semantics).
+
+    The direct window plan — row_number() over (partition by keys order
+    by ...) — shuffles EVERY row of a group to one reducer task and
+    sorts it there; at 100 TB one hot group (a dominant status, a viral
+    key) makes that task the straggler. Salting fixes it in two levels:
+
+    Level 1: rank within (keys, pmod(xxhash64(all columns), n_salts))
+             and keep rank <= k  — a hot group's sort spreads over
+             n_salts tasks; survivors are bounded at n_salts * k rows
+             per group (local top-k dominates the k global winners of
+             any single salt bucket by transitivity of the total order).
+    Level 2: rank the n_salts*k survivors within (keys) — a tiny sort.
+
+    Exactness needs `order_cols` to be a TOTAL order (include a unique
+    tie-breaker), otherwise rows equal under the ordering could rank
+    differently than the single-window form. The salt hashes all
+    columns so duplicates of one row co-locate deterministically.
+
+    Result is identical to the plain window form; both shuffles carry
+    at most the level-1 survivors into level 2.
+    """
+    from pyspark.sql import Window as W
+
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("_salt")
+    w1 = W.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
+    survivors = (
+        df.select("*", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -75,6 +75,42 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_per_group_salted",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof top-k per group (operators/skew.py
+    salted_grouped_topk): level 1 ranks within (group, hash-salt) and
+    keeps k per bucket, level 2 ranks the <= n_salts*k survivors — a
+    hot group never lands on one reducer. The oracle is the PLAIN
+    single-window form, so parity proves the two-level rewrite exact.
+    `o_orderkey` makes the order total; 5 priorities x 600k orders at
+    sf0.1 is precisely the few-hot-groups shape this exists for."""
+    from transit_feed_etl_spark.operators.skew import salted_grouped_topk
+
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return salted_grouped_topk(
+        od,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).orderBy("o_orderpriority", "rnk")
+
+
+@register(
     "running_user_totals",
     oracle="""
     SELECT event_id, user_id, ts,
