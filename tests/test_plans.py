@@ -482,3 +482,50 @@ def test_curation_pipeline_two_exchanges(spark):
     plan = _final_plan(QUERIES["curation_pipeline_stats"].builder(spark, SF))
     assert plan.count("hashpartitioning") == 2, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_q6_all_predicates_pushed_no_join(spark):
+    """Q6 is the minimum-work plan: date/discount/quantity predicates
+    reach the parquet scan, only 4 columns are read, no join, partial
+    aggregation before the single 1-row exchange."""
+    plan = _final_plan(QUERIES["q6_forecast_revenue"].builder(spark, SF))
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    for pushed in ("l_discount", "l_quantity"):
+        assert f"isnotnull({pushed}" in plan, plan[:2000]
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q21_single_lineitem_scan_and_shuffle(spark):
+    """Q21's EXISTS + NOT EXISTS fold means ONE lineitem scan feeding
+    ONE orderkey aggregation — not the three correlated scans of the
+    textbook plan. supplier joins broadcast."""
+    plan = _final_plan(QUERIES["q21_waiting_suppliers"].builder(spark, SF))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    li_scans = [s for s in scans if "l_orderkey" in s]
+    assert len(li_scans) == 1, scans
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_equality_is_broadcast_not_reshuffle(spark):
+    """Q15: the 1-row max joins back to the revenue agg as a broadcast;
+    the revenue aggregation itself shuffles lineitem exactly once."""
+    plan = _final_plan(QUERIES["q15_top_supplier"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # lineitem scanned twice (revenue + max branches share the filter)
+    # but each aggregation keeps map-side partials
+    assert "partial_sum" in plan
+
+
+def test_salted_topk_no_whole_group_on_one_task(spark):
+    """Salted top-k: level-1 exchange partitions on (group, salt) — the
+    executed plan must show the two-key hashpartitioning before any
+    single-key one."""
+    plan = _final_plan(QUERIES["topk_per_group_salted"].builder(spark, SF))
+    assert re.search(r"hashpartitioning\(o_orderpriority#\d+, _salt", plan), plan[:2000]
+    # and the level-2 re-rank exchange carries only the bounded survivors
+    assert re.search(r"hashpartitioning\(o_orderpriority#\d+, \d+\)", plan), plan[:2000]
