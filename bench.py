@@ -22,6 +22,8 @@ from transit_feed_etl_spark.session import get_spark
 # plans at sf0.1).
 HEADLINE = (
     "q1_pricing_summary",        # grouped multi-agg over the biggest table
+    "q6_forecast_revenue",       # all-pushdown scan-aggregate (min-work plan)
+    "q21_waiting_suppliers",     # EXISTS+NOT EXISTS folded into one agg
     "join_revenue_by_nation",    # fact-fact + broadcast-dim join
     "left_join_order_counts",    # outer join + agg
     "latest_event_per_user",     # ranking window

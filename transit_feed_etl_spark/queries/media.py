@@ -378,3 +378,121 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(batches, schema).orderBy(
         "media_id", "frame_id"
     )
+
+
+@register(
+    "image_avg_hash_neardup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 48 AS BIGINT) AS img
+      FROM documents WHERE doc_id < 200
+    ),
+    imgs AS (SELECT DISTINCT img FROM d),
+    px AS (
+      SELECT img, xs, ys,
+             ( (img*7 + (2*xs)*13 + (2*ys)*29 + 0) % 256
+             + (img*7 + (2*xs)*13 + (2*ys)*29 + 3) % 256
+             + (img*7 + (2*xs)*13 + (2*ys)*29 + 6) % 256) AS lum
+      FROM imgs,
+           (SELECT unnest(range(0,8)) AS xs),
+           (SELECT unnest(range(0,4)) AS ys)
+    ),
+    tot AS (SELECT img, SUM(lum) AS total FROM px GROUP BY img),
+    h AS (
+      SELECT px.img,
+             CAST(SUM(CASE WHEN 32*lum > total
+                      THEN CAST(1 AS BIGINT) << CAST(ys*8 + xs AS INT)
+                      ELSE 0 END) AS BIGINT)
+               AS ahash
+      FROM px JOIN tot ON px.img = tot.img
+      GROUP BY px.img
+    ),
+    dh AS (SELECT doc_id, ahash FROM d JOIN h ON d.img = h.img)
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+    ORDER BY media_a, media_b
+    """,
+)
+def image_avg_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: 32-bit AVERAGE HASH over the REAL BMP
+    pixel path (pack -> byte decode -> nearest-neighbor 2x downsample ->
+    integer luma threshold against the image mean), then Hamming <= 2
+    pairing via 8x4-bit PIGEONHOLE BANDING — at most 4 corrupted bands
+    at distance <= 7 leaves >= 1 intact band, so banding loses nothing
+    at the <= 2 threshold (recall 1.0 by construction, same argument as
+    simhash_portable_pairs). Scale plan: candidates come from the band
+    equi-join (bucket-bounded, never all-pairs); the hash rides the
+    banding rows so verification needs no re-join. The oracle recomputes
+    every pixel, the threshold, the bit packing, AND the pair set from
+    the closed-form generator — a wrong stride, row order, resample
+    anchor, or band split breaks the value hash. Integer math end to
+    end: brightness-shifted images (nearby ids) genuinely land within
+    small Hamming distance (avg-hash is shift-invariant modulo wrap),
+    duplicates (same doc_id % 48) at distance 0."""
+    import numpy as np
+    import pandas as pd
+
+    from transit_feed_etl_spark.operators.multimodal import (
+        decode_bmp,
+        pack_bmp,
+        resize_nearest,
+    )
+
+    d = table_par(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def hash_batches(it):
+        for pdf in it:
+            ids, hashes = [], []
+            for did in pdf["doc_id"]:
+                arr = decode_bmp(pack_bmp(did % 48, 16, 8))
+                small = resize_nearest(arr, 2)  # 4 x 8 x 3, RGB top-down
+                lum = small.astype(np.int64).sum(axis=2)  # integer luma
+                bits = (32 * lum > lum.sum()).astype(np.int64)
+                idx = np.arange(4)[:, None] * 8 + np.arange(8)[None, :]
+                ids.append(did)
+                hashes.append(int((bits << idx).sum()))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    hashes = d.select("doc_id").mapInPandas(hash_batches, "doc_id long, ahash long")
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("ahash", 4 * i).bitwiseAND(F.lit(15)).alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("doc_id").alias("media_a"),
+        F.col("ahash").alias("hash_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("media_b"),
+        F.col("ahash").alias("hash_b"),
+        "band",
+        "val",
+    )
+    ham = F.bit_count(
+        F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+    ).cast("int")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "hash_a", "hash_b")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 2)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    )
