@@ -484,3 +484,33 @@ def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           group_size < 5 AS below_k
+    FROM g
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for a release candidate: group by the quasi-
+    identifier tuple (nation, market segment) and flag equivalence
+    classes smaller than k=5 — the rows a k-anonymity release would
+    have to suppress or generalize. Complements pii_redaction (row
+    content) with the aggregation-side re-identification check. One
+    combinable count aggregation — skew-free at any scale."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("below_k", F.col("group_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

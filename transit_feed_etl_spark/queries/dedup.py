@@ -436,3 +436,57 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_id")
     )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey, c_name,
+             ROW_NUMBER() OVER (ORDER BY c_name) AS rn
+      FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY custkey_a, custkey_b
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking — the third candidate-generation
+    family next to LSH banding (minhash.py) and pigeonhole blocking
+    (prefixfilter.py): sort by the match key, compare each record only
+    to its w=2 successors. Scale plan: the global sort rank comes from
+    operators/ranking.py global_rank (range partition + offsets — NO
+    single-task window sort), and the neighbor window becomes a block
+    EQUI-join (block = rank div w; a row meets only blocks k and k+1),
+    so candidates are bounded at 2w per row. The oracle is the plain
+    single-window ROW_NUMBER + rank-difference self-join, so parity
+    proves both the distributed rank and the block rewrite exact."""
+    from transit_feed_etl_spark.operators.ranking import global_rank
+
+    w = 2
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    r = global_rank(c, ["c_name"], rank_col="rn")
+    blk = ((F.col("rn") - 1) / w).cast("long")
+    a = r.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
+    )
+    b = r.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("rn").alias("rn_b"),
+        blk.alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter((F.col("rn_b") - F.col("rn_a")).between(1, w))
+        .withColumn("lev", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("lev") <= 2)
+        .select("custkey_a", "custkey_b", "lev")
+        .orderBy("custkey_a", "custkey_b")
+    )

@@ -648,3 +648,51 @@ def json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.alias("j"),
         F.get_json_object(j, "$.n").cast("long").alias("n_back"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sort_nulls_placement",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'nulls_first_asc' AS probe, l_orderkey, l_linenumber,
+             NULLIF(CAST(l_quantity AS INT) % 7, 0) AS v
+      FROM lineitem
+      ORDER BY v ASC NULLS FIRST, l_orderkey, l_linenumber
+      LIMIT 100
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'nulls_last_desc' AS probe, l_orderkey, l_linenumber,
+             NULLIF(CAST(l_quantity AS INT) % 7, 0) AS v
+      FROM lineitem
+      ORDER BY v DESC NULLS LAST, l_orderkey, l_linenumber
+      LIMIT 100
+    )
+    """,
+)
+def sort_nulls_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-placement dialect parity: Spark's default sort puts NULLs
+    FIRST ascending / LAST descending, DuckDB defaults to NULLS LAST —
+    silent result drift for any top-k over a nullable key unless the
+    placement is explicit. Both engines are pinned to the explicit
+    forms; the LIMIT makes placement value-observable (which rows
+    survive depends on where NULLs sort). TakeOrderedAndProject keeps
+    each probe a top-k, never a global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    v = F.nullif(F.col("l_quantity").cast("int") % 7, F.lit(0)).alias("v")
+    base = li.select("l_orderkey", "l_linenumber", v)
+    first = (
+        base.orderBy(
+            F.col("v").asc_nulls_first(), "l_orderkey", "l_linenumber"
+        )
+        .limit(100)
+        .select(F.lit("nulls_first_asc").alias("probe"), "*")
+    )
+    last = (
+        base.orderBy(
+            F.col("v").desc_nulls_last(), "l_orderkey", "l_linenumber"
+        )
+        .limit(100)
+        .select(F.lit("nulls_last_desc").alias("probe"), "*")
+    )
+    return first.unionByName(last)
