@@ -631,3 +631,63 @@ def exact_median_via_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("median_price"),
     )
+
+
+@register(
+    "outlier_events_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             QUANTILE_CONT(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(m.med), 6) AS med,
+           ROUND(ANY_VALUE(d.mad), 6) AS mad,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > 4 * d.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+      JOIN med m ON m.event_type = e.event_type
+      JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def outlier_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
+    z-score's (outlier_events_zscore) breakdown-resistant sibling: a few
+    extreme values cannot drag the center or the spread. Three passes,
+    each a broadcast of a tiny per-group stats row back onto the scan:
+    exact interpolated median, then median of absolute deviations, then
+    the |v - med| > 4*MAD count. Both engines interpolate the exact
+    percentile with identical IEEE arithmetic (the exact_percentiles
+    contract), so the strict-inequality cut never flips between them."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 4 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
