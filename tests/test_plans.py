@@ -529,3 +529,15 @@ def test_salted_topk_no_whole_group_on_one_task(spark):
     assert re.search(r"hashpartitioning\(o_orderpriority#\d+, _salt", plan), plan[:2000]
     # and the level-2 re-rank exchange carries only the bounded survivors
     assert re.search(r"hashpartitioning\(o_orderpriority#\d+, \d+\)", plan), plan[:2000]
+
+
+def test_q17_broadcast_part_single_window_exchange(spark):
+    plan = _final_plan(QUERIES["q17_small_quantity_revenue"].builder(spark, SF))
+    # the pruned part dim broadcasts; lineitem is never nested-looped
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the correlated per-part average is a window over ONE l_partkey
+    # exchange — no agg-then-join-back second shuffle of the fact
+    assert plan.count("hashpartitioning(l_partkey") == 1
+    # brand/size filters reach the part scan
+    assert "PushedFilters: [IsNotNull(p_brand), IsNotNull(p_size)" in plan

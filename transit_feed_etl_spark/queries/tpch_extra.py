@@ -36,7 +36,7 @@ division on both engines; every LIMIT carries a total ORDER BY.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from transit_feed_etl_spark.io import table, table_par
@@ -624,4 +624,56 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue. The classic correlated scalar
+# subquery (avg l_quantity per part) over a selective part filter.
+# Plan: the brand/size filter prunes `part` to ~1% BEFORE anything
+# touches lineitem, and the pruned dim broadcasts — so the correlated
+# average is computed only for surviving parts. The per-part average is
+# a window over l_partkey (ONE exchange; no agg-then-join-back second
+# shuffle of the fact), then the small-quantity filter and a global
+# one-row aggregate with map-side partials.
+# --------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH lp AS (
+      SELECT l_quantity, l_extendedprice,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                    OVER (PARTITION BY l_partkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1' AND p_size < 10
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lp
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (p_size<10 standing in for p_container, which the
+    testdata lacks): yearly revenue lost if small-quantity orders — below
+    20% of the part's average quantity — were not taken.
+
+    Determinism: the per-part average is exact-decimal SUM cast to
+    double / COUNT (one double division, identical in DuckDB); the final
+    SUM goes through DECIMAL before the single /7.0 division."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
+    )
+    w = W.partitionBy("l_partkey")
+    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).withColumn(
+        "avg_qty",
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+    )
+    return lp.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+        .cast("double")
+        .alias("avg_yearly")
     )
