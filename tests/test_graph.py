@@ -1,0 +1,79 @@
+"""Graph-analytics contracts beyond the differential oracle: PageRank
+mass conservation and an independent numpy replay of both algorithms."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from transit_feed_etl_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_mass_conserved_and_matches_numpy(spark):
+    rows = QUERIES["pagerank_copurchase"].builder(spark, SF).collect()
+    ranks = {
+        (r["kind"], r["entity_key"]): r["rank"] for r in rows
+    }
+    # symmetrized graph has no dangling nodes -> total rank mass stays 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+    # independent replay: numpy power iteration over the same edge list
+    import duckdb
+
+    raw = duckdb.connect().execute(
+        f"""
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM '{SF}/orders.parquet' o JOIN '{SF}/lineitem.parquet' l
+          ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    nodes = sorted({("customer", c) for c, _ in raw} | {("supplier", s) for _, s in raw})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for c, s in raw:
+        A[idx[("customer", c)], idx[("supplier", s)]] = 1.0
+        A[idx[("supplier", s)], idx[("customer", c)]] = 1.0
+    P = A / A.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = 0.15 / n + 0.85 * (P.T @ r)
+    assert set(ranks) == set(idx)
+    for node, i in idx.items():
+        assert abs(ranks[node] - r[i]) < 1e-9, node
+
+
+def test_knn_clustering_matches_numpy(spark):
+    rows = QUERIES["knn_graph_clustering"].builder(spark, SF).collect()
+
+    import duckdb
+
+    raw = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in raw]
+    M = np.array([r[1] for r in raw], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 4)
+    np.fill_diagonal(S, -np.inf)
+    # top-3 by (score desc, id asc): argsort on (-score, id)
+    edges = set()
+    for qi, qid in enumerate(ids):
+        order = sorted(range(len(ids)), key=lambda j: (-S[qi, j], ids[j]))[:3]
+        for j in order:
+            a, b = min(qid, ids[j]), max(qid, ids[j])
+            edges.add((a, b))
+    A = np.zeros((len(ids), len(ids)), dtype=np.int64)
+    pos = {v: i for i, v in enumerate(ids)}
+    for a, b in edges:
+        A[pos[a], pos[b]] = A[pos[b], pos[a]] = 1
+    tri_per_node = np.diag(A @ A @ A) // 2
+    deg = A.sum(axis=1)
+    assert len(rows) == len(ids)
+    for r in rows:
+        i = pos[r["vec_id"]]
+        assert r["degree"] == deg[i]
+        assert r["n_triangles"] == tri_per_node[i]
+        expect = 2.0 * tri_per_node[i] / (deg[i] * (deg[i] - 1))
+        assert abs(r["clustering"] - round(expect, 6)) < 1e-9

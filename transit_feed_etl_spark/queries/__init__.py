@@ -11,6 +11,7 @@ from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     cleaning,
     curation,
     dedup,
+    graph,
     joins,
     media,
     relational,
