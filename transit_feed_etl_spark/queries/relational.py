@@ -553,3 +553,55 @@ def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT user_id, event_id,
+         LEAD(event_id) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_id
+  FROM {events} WHERE user_id < 20
+),
+seed AS (
+  SELECT user_id, event_id, 1 AS hop FROM (
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM {events} WHERE user_id < 20
+  ) WHERE rn = 1
+),
+chain(user_id, event_id, hop) AS (
+  SELECT user_id, event_id, hop FROM seed
+  UNION ALL
+  SELECT e.user_id, e.next_id, c.hop + 1
+  FROM chain c
+  JOIN edges e ON e.user_id = c.user_id AND e.event_id = c.event_id
+  WHERE e.next_id IS NOT NULL AND c.hop < 25
+)
+SELECT user_id, CAST(COUNT(*) AS INT) AS chain_len,
+       CAST(MAX(hop) AS INT) AS max_hop,
+       CAST(MAX(event_id) AS BIGINT) AS last_event_id
+FROM chain
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "recursive_event_chain",
+    oracle=_RECURSIVE_CHAIN_SQL.format(events="events"),
+)
+def recursive_event_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk each user's
+    event chain link by link — seed at the first event, follow the
+    LEAD()-derived next-event edge, stop after 25 hops. Linear
+    recursion (one successor per row), so total work is
+    O(users x depth) with no path explosion; the hop bound keeps the
+    iteration count under spark.sql.cteRecursionLevelLimit.
+
+    The oracle is the IDENTICAL SQL text modulo view names — DuckDB and
+    Spark both execute the same recursive UNION ALL semantics. The
+    deterministic (ts, event_id) tie-break makes the chain unique."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("v_events_chain")
+    return spark.sql(_RECURSIVE_CHAIN_SQL.format(events="v_events_chain"))

@@ -696,3 +696,46 @@ def sort_nulls_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("nulls_last_desc").alias("probe"), "*")
     )
     return first.unionByName(last)
+
+
+@register(
+    "variant_typed_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT)
+             AS min_k,
+           CAST(COUNT(json_extract(props, '$.missing')) AS BIGINT) AS n_missing_hits,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: `parse_json` into
+    a VariantType column once, then typed `variant_get` extractions —
+    the shredded-access model that replaces per-query `from_json` schema
+    declarations (binary variant encoding, no re-parse per field).
+    Missing paths yield NULL (counted via n_missing_hits = 0 hits).
+    The oracle expresses the same extractions with DuckDB json_extract;
+    aggregation keeps everything integer-typed, so no float drift."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    missing = F.variant_get("v", "$.missing", "int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).cast("int").alias("min_k"),
+            F.count(missing).alias("n_missing_hits"),
+            F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_big"),
+        )
+        .orderBy("event_type")
+    )
