@@ -48,6 +48,9 @@ HEADLINE = (
     "point_in_time_state_join",  # temporal fact->SCD2 dimension lookup
     "equidepth_deciles",         # distributed exact global ranking
     "curation_pipeline_stats",   # flagship: gate -> dedup -> split in one plan
+    "q17_small_quantity_revenue",  # correlated avg as single-exchange window
+    "variant_typed_extraction",  # Spark 4 VARIANT shredded access
+    "pagerank_copurchase",       # iterative graph op, shuffle-free rounds
 )
 
 

@@ -77,3 +77,37 @@ def test_knn_clustering_matches_numpy(spark):
         assert r["n_triangles"] == tri_per_node[i]
         expect = 2.0 * tri_per_node[i] / (deg[i] * (deg[i] - 1))
         assert abs(r["clustering"] - round(expect, 6)) < 1e-9
+
+
+def test_pagerank_iterations_shuffle_free(spark):
+    """In the |V| << |E| regime the per-iteration plan must be: cached
+    dst-partitioned edges + broadcast rank join + exchange-free
+    groupBy(dst). The final iteration's executed plan (everything after
+    the cached relations) may contain broadcast exchanges but NO
+    hash-partitioning exchange."""
+    from transit_feed_etl_spark.io import table
+    from transit_feed_etl_spark.operators.graph import pagerank
+    from pyspark.sql import functions as F
+
+    o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, iters=2)
+    pr.collect()
+    plan = pr._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # the result is served from the iteration cache; its build plan
+    # (visible through the InMemoryRelation) has broadcast joins only
+    assert "InMemoryTableScan" in plan
+    assert "Exchange hashpartitioning" not in plan.split("InMemoryRelation")[0]

@@ -66,6 +66,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return per[key]
 
 
+def _row_groups(path: str) -> int:
+    """Row-group count from the parquet footer (pyarrow metadata-only
+    read — no data pages touched). Row groups are parquet's effective
+    split granularity: Spark assigns each row group to the byte-range
+    split containing its midpoint, so a file with one row group does
+    all its scan work in ONE task no matter how many splits exist."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_row_groups
+
+
 def table_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Like :func:`table`, but guarantees the scan feeds at least
     ``defaultParallelism`` partitions.
@@ -75,14 +86,20 @@ def table_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (tokenize/shingle/hash) would serialize onto one core. One cheap
     round-robin shuffle of the raw rows buys full-core downstream map work.
     On a real cluster the input split count already exceeds parallelism and
-    this becomes a no-op (guarded, no shuffle is added).
-    """
+    this becomes a no-op (guarded, no shuffle is added). The splittability
+    probe reads only the parquet footer — pure metadata, no RDD-API plan
+    materialization (falls back to the RDD partition count for sources
+    where the footer isn't reachable)."""
     per = _CACHE.setdefault(spark, {})
     key = (sf_dir, name, "par")
     if key not in per:
         df = table(spark, sf_dir, name)
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        try:
+            effective = _row_groups(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            effective = df.rdd.getNumPartitions()
+        if effective < par:
             df = df.repartition(par)
         per[key] = df
     return per[key]

@@ -38,14 +38,28 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list (pass a symmetrized list for
     an undirected graph). Every node must have out-degree >= 1 (true by
     construction for symmetrized edges); the node set is the distinct
     `src` set. Returns (node, rank) with full-precision double ranks.
+
+    With ``broadcast_ranks`` (the |V| << |E| regime — rank vector fits
+    in an executor broadcast), iterations are SHUFFLE-FREE: the static
+    (src, dst, deg) relation is hash-partitioned on `dst` once and
+    persisted, the rank join is a broadcast map-side join that preserves
+    that partitioning, and the contribution groupBy(dst) therefore needs
+    no exchange (pinned by tests/test_plans.py). When the rank vector
+    itself outgrows a broadcast (billions of nodes), pass False to fall
+    back to shuffle joins on src — two |E| exchanges per iteration, the
+    classic cost model.
     """
-    e = persist_tracked(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).repartition("src"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # |V|-row relation referenced by every iteration's teleport anchor
+    # and the initial ranks — persist so nn/r0 never re-derive the
+    # (potentially expensive) upstream edge build
+    deg = persist_tracked(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     # |V| as a 1-row broadcast anchor (never collected at the driver)
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = persist_tracked(
@@ -53,13 +67,20 @@ def pagerank(
             "src", (F.lit(1.0) / F.col("n")).alias("rank")
         )
     )
-    # static (src, dst, deg) relation reused by every iteration
-    out = persist_tracked(e.join(deg, "src"))
+    # static (src, dst, deg) relation reused by every iteration,
+    # pre-partitioned on the aggregation key so the per-iteration
+    # groupBy(dst) never re-shuffles it
+    out = persist_tracked(e.join(deg, "src").repartition("dst"))
+    out.count()  # materialize ONCE so iterations read the cache
     for _ in range(iters):
         contrib = (F.col("rank") / F.col("deg")).cast("decimal(38,30)")
+        joined = (
+            out.join(F.broadcast(ranks), "src")
+            if broadcast_ranks
+            else out.join(ranks, "src")
+        )
         new_ranks = (
-            out.join(ranks, "src")
-            .groupBy("dst")
+            joined.groupBy("dst")
             .agg(F.sum(contrib).alias("mass"))
             .crossJoin(F.broadcast(nn))
             .select(
@@ -70,7 +91,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        prev, ranks = ranks, persist_tracked(new_ranks)
-        ranks.count()  # materialize before dropping the parent cache
-        prev.unpersist()
+        # each persist caches on first evaluation (the next round's
+        # broadcast build, or the final action); caller's
+        # release_caches() frees the chain — no per-round count() jobs
+        ranks = persist_tracked(new_ranks)
     return ranks.select(F.col("src").alias("node"), "rank")

@@ -605,3 +605,37 @@ def recursive_event_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (ts, event_id) tie-break makes the chain unique."""
     table(spark, sf_dir, "events").createOrReplaceTempView("v_events_chain")
     return spark.sql(_RECURSIVE_CHAIN_SQL.format(events="v_events_chain"))
+
+
+_LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey < 300
+ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+@register(
+    "lateral_topn_orders_per_customer",
+    oracle=_LATERAL_TOPN_SQL.format(customer="customer", orders="orders"),
+)
+def lateral_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-standard spelling of grouped top-n. Catalyst decorrelates the
+    lateral into a ranked window over a single hash join (no per-row
+    re-execution), so the plan is the same shuffle-once top-n as
+    `topk_per_group`; the oracle is the IDENTICAL SQL text modulo view
+    names (DuckDB executes the same LATERAL semantics). The
+    (o_totalprice, o_orderkey) sort is a total order, so LIMIT 2 picks
+    identical rows on both engines."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_orders")
+    return spark.sql(
+        _LATERAL_TOPN_SQL.format(customer="v_lat_customer", orders="v_lat_orders")
+    )
