@@ -385,3 +385,45 @@ def test_ingest_checkpoint_recovery_no_duplicates(spark, tmp_path):
     ids = sorted(r["vehicle_id"] for r in data.collect())
     assert ids == ["v1", "v2"]  # no duplicates, nothing lost
     assert catalog.total_records() == 2
+
+
+def test_transform_with_state_quota(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user admission quota
+    holds ACROSS micro-batches (two files -> two batches via
+    maxFilesPerTrigger=1; ValueState carries the running totals).
+
+    Capability gate: the transformWithState state-server protocol is
+    protobuf-based; without google.protobuf bindings the engine's
+    Python driver worker cannot start (same optional dependency the
+    GTFS bindings path documents in sources/protobuf_feed.py)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from transit_feed_etl_spark.streaming.stateful import quota_admission
+
+    t = lambda m: datetime(2024, 3, 1, 12, m)  # noqa: E731
+    src = tmp_path / "quota_src"
+    src.mkdir()
+    b1 = [(i, t(i % 60), 1, "click", 1.0) for i in range(4)]
+    b2 = [(100 + i, t(i % 60), 1, "click", 1.0) for i in range(4)] + [
+        (200, t(0), 2, "view", 1.0)
+    ]
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    _run_to_memory(quota_admission(stream, quota=5), "quota_out", mode="update")
+    rows = sorted(
+        (r["user_id"], r["batch_seen"], r["batch_admitted"], r["total_admitted"])
+        for r in spark.sql("SELECT * FROM quota_out").collect()
+    )
+    # user 1: batch1 admits all 4; batch2 admits only 1 more (quota 5)
+    # user 2: single event admitted
+    assert (1, 4, 4, 4) in rows
+    assert (1, 4, 1, 5) in rows
+    assert (2, 1, 1, 1) in rows
