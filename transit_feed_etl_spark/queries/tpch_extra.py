@@ -20,13 +20,24 @@ pattern the earlier queries do not:
        into ONE aggregation over l_orderkey
   q22  anti join + global scalar threshold (avg of positive balances)
 
+  q17  correlated per-part average as a single-exchange window over the
+       broadcast-pruned part dim
+  q2   correlated regional MIN decorrelated to agg + exact-equality join
+  q9   6-way join profit rollup mixing revenue with derived supply cost
+  q11  grouped HAVING vs a broadcast global scalar over the same relation
+  q16  NOT IN anti join + per-group COUNT DISTINCT
+  q20  nested IN chains with a decorrelated per-(part,supp) half-sum
+
 Schema adaptations (testdata lacks partsupp, l_shipmode, l_commitdate /
-l_receiptdate, c_phone): Q4/Q21 define "late" as l_shipdate more than 60
-days after o_orderdate; Q12 buckets by o_orderpriority urgency instead
-of shipmode; Q22's country code is the trailing two digits of c_name;
-Q2/Q9/Q11/Q16/Q20 need partsupp and are intentionally absent (their
-plan shapes — correlated min, EXISTS chains, grouped having — are
-covered by subqueries.py and this module's q15/q21).
+l_receiptdate, c_phone, p_container): Q4/Q21 define "late" as l_shipdate
+more than 60 days after o_orderdate; Q12 buckets by o_orderpriority
+urgency instead of shipmode; Q22's country code is the trailing two
+digits of c_name; Q17 filters p_size instead of p_container;
+Q2/Q9/Q11/Q16/Q20 run against a DETERMINISTIC derived partsupp (see
+_PS_SQL below) — the distinct lineitem (partkey, suppkey) pairs with
+integer-arithmetic supply cost / availqty, derived identically in both
+engines so every canonical plan shape stays value-oracle-checked.
+With those, all 22 TPC-H query shapes are covered.
 
 Determinism: every money sum goes through DECIMAL (exact, order-
 independent) and is cast back to DOUBLE only for output, per the
@@ -676,4 +687,344 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
         .cast("double")
         .alias("avg_yearly")
+    )
+
+
+# --------------------------------------------------------------------------
+# Derived partsupp: the testdata has no partsupp table, so the five
+# remaining canonical TPC-H shapes (Q2/Q9/Q11/Q16/Q20) run against a
+# DETERMINISTIC partsupp view derived from lineitem — the distinct
+# (partkey, suppkey) pairs, with supply cost / available quantity as
+# pure integer arithmetic over the keys. Both engines derive the
+# identical relation (integer ops, one IEEE division), so the oracle
+# stays value-exact while the queries keep their canonical plan shapes.
+# --------------------------------------------------------------------------
+_PS_SQL = """
+      SELECT ps_partkey, ps_suppkey,
+             CAST((ps_partkey * 31 + ps_suppkey * 7) % 9000 + 1000 AS DOUBLE)
+               / 100 AS ps_supplycost,
+             CAST((ps_partkey * 13 + ps_suppkey * 17) % 9999 + 1 AS INT)
+               AS ps_availqty
+      FROM (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+      )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived-partsupp twin of _PS_SQL (see block comment)."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7) % 9000 + 1000)
+            .cast("double")
+            / 100
+        ).alias("ps_supplycost"),
+        ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 17) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier. Correlated scalar MIN against the same
+# relation: decorrelated into a per-part MIN aggregate joined back on
+# EXACT equality (supply costs are identical doubles on both engines).
+# Plan: part filter prunes first; supplier/nation/region broadcast; the
+# per-part min is one shuffle on ps_partkey.
+# --------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    rps AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost, s.s_suppkey, s.s_name,
+             s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    mn AS (
+      SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+      FROM rps GROUP BY ps_partkey
+    )
+    SELECT rps.s_acctbal, rps.s_name, rps.n_name, p.p_partkey, p.p_name,
+           rps.ps_supplycost
+    FROM part p
+    JOIN rps ON rps.ps_partkey = p.p_partkey
+    JOIN mn ON mn.ps_partkey = p.p_partkey
+           AND rps.ps_supplycost = mn.min_cost
+    WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+    ORDER BY rps.s_acctbal DESC, rps.n_name, rps.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over the derived partsupp: the supplier(s)
+    achieving the regional minimum supply cost for each qualifying
+    part. The correlated MIN decorrelates into a grouped aggregate +
+    equality join back (Catalyst does the same to the subquery form)."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    rps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mn = rps.groupBy(F.col("ps_partkey").alias("mn_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        p.join(rps, p.p_partkey == rps.ps_partkey)
+        .join(
+            mn,
+            (F.col("mn_partkey") == F.col("p_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit. The 6-way join; profit mixes revenue with
+# derived supply cost. Dims broadcast; lineitem shuffles once on
+# orderkey for the orders join (partkey/suppkey sides broadcast).
+# --------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - ps.ps_supplycost * l.l_quantity
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY n.n_name, CAST(YEAR(o.o_orderdate) AS INT)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (p_type = 'PROMO' standing in for the p_name LIKE
+    pattern): per-nation, per-year profit where cost comes from the
+    derived partsupp. The profit expression keeps the same operation
+    order on both engines, then sums through DECIMAL."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock. Grouped HAVING against a global scalar over
+# the SAME filtered relation (computed once, broadcast back).
+# --------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    filtered AS (
+      SELECT ps.ps_partkey,
+             CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,6)) AS val
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    tot AS (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 AS threshold FROM filtered)
+    SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+    FROM filtered, tot
+    GROUP BY ps_partkey, tot.threshold
+    HAVING CAST(SUM(val) AS DOUBLE) > tot.threshold
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value within one nation, kept
+    only when above a fraction of that nation's total stock value. The
+    global scalar is a 1-row broadcast; exact-decimal sums make the
+    strict-inequality cut identical on both engines."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,6)")
+    filtered = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey", val.alias("val"))
+    )
+    tot = filtered.agg((F.sum("val").cast("double") * 0.001).alias("threshold"))
+    return (
+        filtered.crossJoin(F.broadcast(tot))
+        .groupBy("ps_partkey", "threshold")
+        .agg(F.sum("val").cast("double").alias("part_value"))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier relationship. NOT IN anti join + per-group COUNT
+# DISTINCT over a multi-attribute group.
+# --------------------------------------------------------------------------
+@register(
+    "q16_supplier_relationship",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS INT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (negative account balance standing in for the
+    complaints LIKE filter): distinct supplier counts per (brand, type,
+    size) bucket, excluding flagged suppliers via NOT IN -> anti join
+    (the exclusion list is provably null-free, so NOT IN and ANTI agree)."""
+    ps = _partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 4, 9, 14, 19, 23, 36, 45])
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("int").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential promotion. Nested IN chains: suppliers whose derived
+# stock of promo parts exceeds half a year's shipped quantity. The
+# correlated half-sum decorrelates to a per-(part,supp) aggregate
+# joined on the composite key.
+# --------------------------------------------------------------------------
+@register(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    candidates AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND ps.ps_availqty > 0.5 * sh.qty
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (SELECT ps_suppkey FROM candidates)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: one nation's suppliers holding excess derived
+    stock (> half of 1997 shipments) of promo parts. Exact-decimal
+    quantity sums keep the strict > cut engine-identical; empty shipped
+    groups drop out on both engines (inner correlation)."""
+    ps = _partsupp(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,3)"))
+        .cast("double")
+        .alias("qty")
+    )
+    promo = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    candidates = (
+        ps.join(F.broadcast(promo), ps.ps_partkey == promo.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(candidates, s.s_suppkey == candidates.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
