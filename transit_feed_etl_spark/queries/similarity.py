@@ -1264,19 +1264,28 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
     simq = F.round(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4)
     wq = W.partitionBy("qid").orderBy(simq.desc(), F.col("vec_id").asc())
-    cand = persist_tracked(
+    # localCheckpoint, not persist: every greedy step's plan would
+    # otherwise NEST the previous steps' cached adaptive subplans, and
+    # plan-compile cost grows superlinearly with k (measured 42 s -> 8 s
+    # for the whole query at sf0.01 from cutting lineage instead of
+    # caching it). Checkpointed partitions live on executors; for a
+    # fault-tolerant long-running job use checkpoint() with a reliable
+    # dir instead.
+    cand = (
         pairs.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _MMR_DEPTH)
         .select("qid", F.col("vec_id").alias("nid"), simq.alias("simq"), F.col("v").alias("cv"))
+        .localCheckpoint()
     )
     a = cand.select("qid", F.col("nid").alias("nid1"), F.col("cv").alias("v1"))
     b = cand.select(F.col("qid").alias("qid2"), F.col("nid").alias("nid2"), F.col("cv").alias("v2"))
     psim = F.round(
         V.dot(F.col("v1"), F.col("v2")) / (V.l2_norm(F.col("v1")) * V.l2_norm(F.col("v2"))), 4
     )
-    pairsim = persist_tracked(
+    pairsim = (
         a.join(b, (F.col("qid") == F.col("qid2")) & (F.col("nid1") != F.col("nid2")))
         .select("qid", "nid1", "nid2", psim.alias("sim"))
+        .localCheckpoint()
     )
     sel = None  # DataFrame(qid, nid, step)
     lam = _MMR_LAMBDA
@@ -1318,9 +1327,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("prn") == 1)
             .select("qid", "nid", F.lit(k).alias("step"))
         )
-        sel = pick if sel is None else sel.unionByName(pick)
-        sel = persist_tracked(sel)
-        sel.count()  # materialize each greedy step before the next references it
+        # eager localCheckpoint materializes the step AND cuts lineage
+        sel = (pick if sel is None else sel.unionByName(pick)).localCheckpoint()
     return sel.select("qid", "nid", F.col("step").cast("int").alias("step")).orderBy(
         "qid", "step"
     )
