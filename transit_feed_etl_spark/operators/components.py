@@ -65,17 +65,16 @@ def connected_components(
         jump = labels.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
-        # Persist protocol (the difference between O(rounds) and
-        # O(2^rounds)): persist `stepped` itself, and let the SAME
-        # count() that drives convergence fill its cache. The next
-        # round's labels are a projection of this cached frame, so
-        # lineage stays one hop deep; unpersisting the previous frame is
-        # then safe. (Persisting a DIFFERENT projection and counting
-        # this one would leave the persisted frame unmaterialized — the
-        # old labels would be dropped while still the only real copy,
-        # and every later round would replay the full chain back to the
-        # edge relation: measured minutes vs seconds at sf0.1.)
-        stepped = persist_tracked(
+        # Lineage-cut protocol (the difference between O(rounds) and a
+        # superlinear blowup): eager localCheckpoint materializes the
+        # round AND truncates its plan to a leaf, so round k's plan
+        # never nests rounds 1..k-1 (persist+count kept the work cached
+        # but the plan-compile cost still grew per round — the MMR
+        # operator measured 42 s -> 8 s from the same change). The
+        # convergence count then scans the already-materialized
+        # partitions. For fault-tolerant multi-hour jobs swap in
+        # checkpoint() with a reliable directory.
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .join(jump, labels["label"] == jump["jnode"], "left")
             .select(
@@ -87,9 +86,9 @@ def connected_components(
                     F.coalesce("jlabel", "label"),
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
         changed = stepped.filter(F.col("label") < F.col("old_label")).count()
-        labels.unpersist()
         labels = stepped.select("node", "label")
         if changed == 0:
             return labels
