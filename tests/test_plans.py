@@ -541,3 +541,27 @@ def test_q17_broadcast_part_single_window_exchange(spark):
     assert plan.count("hashpartitioning(l_partkey") == 1
     # brand/size filters reach the part scan
     assert "PushedFilters: [IsNotNull(p_brand), IsNotNull(p_size)" in plan
+
+
+def test_q9_broadcasts_all_dims(spark):
+    plan = _final_plan(QUERIES["q9_product_type_profit"].builder(spark, SF))
+    # part/supplier/nation broadcast; no nested loop anywhere
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the promo filter reaches the part scan
+    assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)" in plan
+    # profit aggregation is partial (map-side combine) before its shuffle
+    assert "partial_sum" in plan
+
+
+def test_q11_global_scalar_is_broadcast(spark):
+    plan = _final_plan(QUERIES["q11_important_stock"].builder(spark, SF))
+    # the HAVING threshold arrives as a 1-row broadcast (nested-loop on
+    # 1 row is the broadcast anchor pattern), never a re-shuffle
+    assert "BroadcastExchange" in plan
+    # one distinct-pair exchange (the cached derived partsupp) + at most
+    # one per-part aggregate exchange; the shared `filtered` relation is
+    # cached, so the lineitem scan and distinct run ONCE, not per branch
+    import re as _re
+    assert len(_re.findall(r"Exchange hashpartitioning\(ps_partkey", plan)) <= 2
+    assert "InMemoryTableScan" in plan

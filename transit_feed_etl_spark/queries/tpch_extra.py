@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from transit_feed_etl_spark.caching import persist_tracked
 from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.registry import register
 
@@ -896,7 +897,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(18,6)")
-    filtered = (
+    # persist: `filtered` feeds BOTH the global scalar and the per-part
+    # aggregate — without it each reference re-derives partsupp from a
+    # full lineitem scan (two scans + two distinct shuffles of the
+    # biggest table instead of one)
+    filtered = persist_tracked(
         ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("ps_partkey", val.alias("val"))
