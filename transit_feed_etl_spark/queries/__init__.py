@@ -8,6 +8,7 @@ from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     aggregates,
     analytics,
     asof_queries,
+    bpe,
     cleaning,
     curation,
     dedup,
