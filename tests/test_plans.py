@@ -565,3 +565,25 @@ def test_q11_global_scalar_is_broadcast(spark):
     import re as _re
     assert len(_re.findall(r"Exchange hashpartitioning\(ps_partkey", plan)) <= 2
     assert "InMemoryTableScan" in plan
+
+
+def test_pca_scatter_partial_aggregates_before_shuffle(spark):
+    """pca_top_component's scale contract: the n x d^2 outer-product
+    explode must partial-aggregate to d^2 rows per partition BEFORE the
+    one exchange (no corpus-sized relation moves), and the per-round
+    rank vector joins must be broadcasts, never shuffled joins."""
+    plan = _final_plan(QUERIES["pca_top_component"].builder(spark, SF))
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no sort-merge join anywhere: every join input is a broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_encode_vocab_sized_merge_application(spark):
+    """bpe_encode_token_counts applies merges to the word-frequency
+    relation, not the corpus: the final doc-level aggregation must be a
+    hash aggregate with map-side combine, and the vocab join must not
+    degrade to a nested loop."""
+    plan = _final_plan(QUERIES["bpe_encode_token_counts"].builder(spark, SF))
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -90,11 +90,14 @@ def _bpe_oracle() -> str:
     return "".join(parts)
 
 
-@register("bpe_merge_training", oracle=_bpe_oracle())
-def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first {_ROUNDS} BPE merges over the document corpus;
-    returns the merge table (round, pair, merged symbol, corpus count) —
-    the artifact a tokenizer trainer persists."""
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training loop: returns (per-round 1-row merge frames,
+    final encoded word-frequency table). Both the training query (which
+    reports the merge table) and the encode query (which applies the
+    final encoding back to documents) run this identical computation, so
+    their oracles can replay the same unrolled-SQL training."""
     d = table_par(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(TX.tokens("text")).alias("word"))
@@ -155,6 +158,15 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
             ).alias("enc"),
         ).localCheckpoint()
+    return merges, enc
+
+
+@register("bpe_merge_training", oracle=_bpe_oracle())
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {_ROUNDS} BPE merges over the document corpus;
+    returns the merge table (round, pair, merged symbol, corpus count) —
+    the artifact a tokenizer trainer persists."""
+    merges, _ = _learn_merges(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -165,3 +177,77 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged",
         F.col("cnt").cast("bigint").alias("cnt"),
     ).orderBy("round")
+
+
+def _bpe_encode_oracle() -> str:
+    """Replays training (same CTEs as _bpe_oracle), then applies the
+    final encoding back to per-document word counts: a word of k merged
+    symbols contributes k tokens; words shorter than 2 chars (absent
+    from the merge table) stay single tokens."""
+    parts = [f"WITH enc0 AS ({_ENC0_SQL})"]
+    for k in range(_ROUNDS):
+        parts.append(f""",
+    pairs{k} AS ({_pairs_sql(f'enc{k}')}),
+    top{k} AS (
+      SELECT a, b, cnt FROM pairs{k} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    enc{k + 1} AS (
+      SELECT word, freq,
+             REPLACE(enc, '|' || t.a || '||' || t.b || '|',
+                     '|' || t.a || t.b || '|') AS enc
+      FROM enc{k}, top{k} t
+    )""")
+    parts.append(f""",
+    syms AS (
+      SELECT word,
+             LEN(string_split(trim(enc, '|'), '||')) AS n_syms
+      FROM enc{_ROUNDS}
+    ),
+    wc AS (
+      SELECT doc_id, w AS word, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   UNNEST(list_filter(string_split_regex(lower(text), '\\W+'),
+                                      t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT wc.doc_id,
+           CAST(SUM(wc.c) AS BIGINT) AS n_words,
+           CAST(SUM(wc.c * COALESCE(s.n_syms, 1)) AS BIGINT) AS n_bpe_tokens
+    FROM wc LEFT JOIN syms s ON s.word = wc.word
+    GROUP BY wc.doc_id
+    ORDER BY wc.doc_id""")
+    return "".join(parts)
+
+
+@register("bpe_encode_token_counts", oracle=_bpe_encode_oracle())
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the {_ROUNDS}
+    learned BPE merges and report per-document word and BPE-token counts
+    — the token-budget accounting pass a pretraining pipeline runs after
+    tokenizer training.
+
+    Scale: merges are applied to the WORD-FREQUENCY table (vocab-sized),
+    never to the corpus; per-doc counts come from joining doc->word
+    counts against the vocab's symbols-per-word — so the corpus-sized
+    relations only ever flow through tokenize+count aggregations."""
+    _, enc = _learn_merges(spark, sf_dir)
+    n_syms = F.size(F.split(F.expr("trim(BOTH '|' FROM enc)"), r"\|\|"))
+    vocab = enc.select("word", n_syms.alias("n_syms"))
+    d = table_par(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.coalesce("n_syms", F.lit(1)))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

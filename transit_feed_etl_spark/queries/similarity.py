@@ -1332,3 +1332,186 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("qid", "nid", F.col("step").cast("int").alias("step")).orderBy(
         "qid", "step"
     )
+
+
+_PCA_ITERS = 3
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    """DuckDB oracle for pca_top_component with the power iteration
+    unrolled as a CTE chain — covariance accumulation, every
+    matrix-vector product, the norm, and the final projection all go
+    through order-independent DECIMAL sums, so the whole training is
+    bit-identical in both engines (same contract as _kmeans_oracle)."""
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""ex AS (
+      SELECT vec_id, CAST(t.i AS INT) AS i, e[t.i] AS x
+      FROM v, (SELECT CAST(range AS INT) AS i
+               FROM range(1, {EMB_DIM} + 1)) t
+    )""",
+        """mean AS (
+      SELECT i, CAST(SUM(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / COUNT(*) AS m
+      FROM ex GROUP BY i
+    )""",
+        """cx AS (
+      SELECT ex.vec_id, ex.i, ex.x - mean.m AS c FROM ex JOIN mean USING (i)
+    )""",
+        """cov AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(25,15))) AS DOUBLE) AS cij
+      FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    )""",
+        f"""v0 AS (
+      SELECT CAST(range AS INT) AS i, CAST(1.0 AS DOUBLE) AS vv
+      FROM range(1, {EMB_DIM} + 1)
+    )""",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""w{k} AS (
+      SELECT c.i, CAST(SUM(CAST(c.cij * p.vv AS DECIMAL(25,15))) AS DOUBLE) AS w
+      FROM cov c JOIN v{k} p ON p.i = c.j
+      GROUP BY c.i
+    )"""
+        )
+        parts.append(
+            f"""n{k} AS (
+      SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,15))) AS DOUBLE)) AS nrm
+      FROM w{k}
+    )"""
+        )
+        parts.append(
+            f"""v{k + 1} AS (
+      SELECT i, w / (SELECT nrm FROM n{k}) AS vv FROM w{k}
+    )"""
+        )
+    return f"""
+    WITH {", ".join(parts)},
+    proj AS (
+      SELECT cx.vec_id,
+             CAST(SUM(CAST(cx.c * p.vv AS DECIMAL(25,15))) AS DOUBLE) AS s
+      FROM cx JOIN v{iters} p USING (i)
+      GROUP BY cx.vec_id
+    ),
+    sc AS (SELECT vec_id, CAST(FLOOR(s * 1e6) AS BIGINT) AS pc1_e6 FROM proj)
+    SELECT * FROM (
+      (SELECT 'max' AS which, vec_id, pc1_e6 FROM sc
+       ORDER BY pc1_e6 DESC, vec_id LIMIT 5)
+      UNION ALL
+      (SELECT 'min' AS which, vec_id, pc1_e6 FROM sc
+       ORDER BY pc1_e6 ASC, vec_id LIMIT 5)
+    ) ORDER BY which DESC, pc1_e6, vec_id
+    """
+
+
+@register("pca_top_component", oracle=_pca_oracle())
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: top principal component of the embedding corpus
+    by {_PCA_ITERS}-round power iteration over the centered scatter
+    matrix, then the corpus extremes (5 highest / 5 lowest PC1 scores) —
+    the diversity-axis / outlier probe a curation pipeline runs to see
+    what its embedding space actually spreads along.
+
+    Scale design: the only corpus-sized passes are (1) the per-dimension
+    mean and (2) the scatter-matrix accumulation — an explode to
+    (i, j, c_i*c_j) contributions that PARTIAL-AGGREGATES to d^2 = {EMB_DIM}^2
+    rows per partition before the one shuffle, so no n x n (or n x d^2)
+    relation ever moves. Power iteration then runs on the d^2-row scatter
+    relation with a broadcast d-vector per round: corpus data is touched
+    exactly twice (once more for the final projection). Determinism:
+    every sum is an order-independent DECIMAL accumulation and every
+    double op is a single IEEE instruction replayed by the unrolled-SQL
+    oracle; scores ship as FLOOR-scaled e6 integers (tie-free, see
+    embedding_quantization)."""
+    v = table_par(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("e")
+    )
+    ex = v.select("vec_id", F.posexplode("e").alias("pos", "x")).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), "x"
+    )
+    means = ex.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    marr = means.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("marr")
+    )
+    cxd = persist_tracked(
+        v.crossJoin(F.broadcast(marr)).select(
+            "vec_id", F.zip_with("e", "marr", lambda x, m: x - m).alias("c")
+        )
+    )
+    outer = F.flatten(
+        F.transform(
+            "c",
+            lambda xi, i: F.transform(
+                F.col("c"),
+                lambda xj, j: F.struct(
+                    (i + 1).alias("i"), (j + 1).alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    cov = (
+        cxd.select(F.explode(outer).alias("s"))
+        .select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(25,15)")).cast("double").alias("cij"))
+        .localCheckpoint()  # d^2 rows; snapshot so iterations never
+        # re-run the corpus-sized accumulation
+    )
+    varr = v.sparkSession.range(1).select(
+        F.array(*[F.lit(1.0)] * EMB_DIM).alias("vv")
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            cov.crossJoin(F.broadcast(varr))
+            .select(
+                "i", (F.col("cij") * F.element_at("vv", F.col("j"))).alias("pd")
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("pd").cast("decimal(25,15)")).cast("double").alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,15)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        varr = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("i", (F.col("w") / F.col("nrm")).alias("vv_i"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "vv_i"))),
+                    lambda s: s["vv_i"],
+                ).alias("vv")
+            )
+            .localCheckpoint()  # 1 row per round; flat plans
+        )
+    cxe = cxd.select("vec_id", F.posexplode("c").alias("pos", "cval")).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), "cval"
+    )
+    proj = (
+        cxe.crossJoin(F.broadcast(varr))
+        .select("vec_id", (F.col("cval") * F.element_at("vv", F.col("i"))).alias("pd"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("pd").cast("decimal(25,15)")).cast("double").alias("s"))
+    )
+    sc = proj.select(
+        "vec_id", F.floor(F.col("s") * 1e6).cast("long").alias("pc1_e6")
+    )
+    top = sc.orderBy(F.desc("pc1_e6"), "vec_id").limit(5).select(
+        F.lit("max").alias("which"), "vec_id", "pc1_e6"
+    )
+    bot = sc.orderBy(F.asc("pc1_e6"), "vec_id").limit(5).select(
+        F.lit("min").alias("which"), "vec_id", "pc1_e6"
+    )
+    return top.unionByName(bot).orderBy(F.desc("which"), "pc1_e6", "vec_id")
