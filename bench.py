@@ -51,6 +51,9 @@ HEADLINE = (
     "q17_small_quantity_revenue",  # correlated avg as single-exchange window
     "variant_typed_extraction",  # Spark 4 VARIANT shredded access
     "pagerank_copurchase",       # iterative graph op, shuffle-free rounds
+    "dedup_clusters",            # pairs -> connected components -> canonical ids
+    "pca_top_component",         # scatter-matrix PCA, partial-agg accumulation
+    "bpe_encode_token_counts",   # tokenizer train + apply + token accounting
 )
 
 

