@@ -54,6 +54,7 @@ HEADLINE = (
     "dedup_clusters",            # pairs -> connected components -> canonical ids
     "pca_top_component",         # scatter-matrix PCA, partial-agg accumulation
     "bpe_encode_token_counts",   # tokenizer train + apply + token accounting
+    "semdedup_prune",            # k-means-cell-partitioned semantic dedup
 )
 
 

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Scaling probe: how does each load-bearing operator's wall time grow
+when the input grows k-fold?
+
+Builds k-replicated copies of the driver's sf0.1 tables (ids offset per
+replica so keys stay distinct — this is a measurement harness, not new
+testdata; every row is a driver row) under /tmp, then times a
+representative operator set at 1x / 2x / 4x and reports the growth
+ratio per doubling. A ratio near 2 per doubling = linear (what a
+100 TB-ready plan must show on its corpus-sized stages); quadratic
+stages (the labeled verification baselines) show near 4.
+
+Usage: python tools/scale_probe.py [max_k]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from transit_feed_etl_spark.caching import release_caches  # noqa: E402
+from transit_feed_etl_spark.io import TABLES, table  # noqa: E402
+from transit_feed_etl_spark.queries import QUERIES  # noqa: E402
+from transit_feed_etl_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_probe"
+
+# (query, id columns to offset per replica, tables that must be scaled)
+PROBES = [
+    ("q1_pricing_summary", {"lineitem": []}),
+    ("dedup_exact", {"documents": ["doc_id"]}),
+    ("text_token_stats", {"documents": ["doc_id"]}),
+    ("tfidf_top_terms", {"documents": ["doc_id"]}),
+    ("minhash_lsh_candidates", {"documents": ["doc_id"]}),
+    ("neardup_jaccard_prefix", {"documents": ["doc_id"]}),
+    ("pca_top_component", {"embeddings": ["vec_id"]}),
+    ("semdedup_prune", {"embeddings": ["vec_id"]}),
+    ("bpe_encode_token_counts", {"documents": ["doc_id"]}),
+]
+
+OFFSET = 10_000_000
+
+
+def build_dir(spark, k: int, scaled: dict[str, list[str]]) -> str:
+    out = f"{WORK}/x{k}"
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        dst = f"{out}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        if t in scaled:
+            df = table(spark, BASE, t)
+            parts = []
+            for i in range(k):
+                p = df
+                for c in scaled[t]:
+                    p = p.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+                parts.append(p)
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            u.coalesce(max(1, k)).write.mode("overwrite").parquet(dst + ".dir")
+            # single-file layout to mirror the driver's testdata shape
+            files = [
+                f for f in os.listdir(dst + ".dir") if f.endswith(".parquet")
+            ]
+            if len(files) == 1:
+                shutil.move(os.path.join(dst + ".dir", files[0]), dst)
+                shutil.rmtree(dst + ".dir")
+            else:
+                shutil.move(dst + ".dir", dst)
+        else:
+            shutil.copyfile(f"{BASE}/{t}.parquet", dst)
+    return out
+
+
+def main() -> int:
+    max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    ks = [1]
+    while ks[-1] * 2 <= max_k:
+        ks.append(ks[-1] * 2)
+    spark = get_spark()
+    # scale union of all id columns used by any probe of that table
+    need: dict[str, list[str]] = {}
+    for _, scaled in PROBES:
+        for t, cols in scaled.items():
+            need.setdefault(t, cols)
+    dirs = {k: build_dir(spark, k, need) for k in ks}
+    print(f"built {len(dirs)} scaled dirs: {sorted(dirs.values())}", flush=True)
+
+    results: dict[str, dict[int, float]] = {}
+    for name, _ in PROBES:
+        q = QUERIES[name]
+        results[name] = {}
+        for k in ks:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                n = q.builder(spark, dirs[k]).count()
+                best = min(best, time.monotonic() - t0)
+                release_caches()
+                spark.catalog.clearCache()
+            results[name][k] = best
+            print(f"  {name} x{k}: {best:.2f}s ({n} rows)", flush=True)
+
+    print(f"\n{'operator':32} " + " ".join(f"{'x' + str(k):>7}" for k in ks)
+          + "  ratio/doubling")
+    for name, r in results.items():
+        ratios = [r[ks[i + 1]] / r[ks[i]] for i in range(len(ks) - 1)]
+        geo = (ratios[-1] if len(ratios) == 1
+               else (ratios[0] * ratios[-1]) ** 0.5)
+        print(f"{name:32} " + " ".join(f"{r[k]:6.2f}s" for k in ks)
+              + f"  {geo:.2f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -401,16 +401,11 @@ _KM_ITERS = 3
 _KM_CELLS = 16
 
 
-def _kmeans_oracle(iters: int = _KM_ITERS, cells: int = _KM_CELLS) -> str:
-    """DuckDB oracle for ivf_kmeans_topk with the k-means TRAINING
-    unrolled as a CTE chain — the full Lloyd iteration is value-level
-    differential-checked, not just the final search.
-
-    Cross-engine determinism: centroid means go through DECIMAL(25,15)
-    sums (order-independent, registry.py contract), cosine similarities
-    are sequential 1..64 folds rounded to 6dp, and argmin ties break on
-    cid ASC — every iteration is bit-identical in both engines, so the
-    trained centroids (and hence the ANN result) hash-match."""
+def _kmeans_training_parts(iters: int, cells: int) -> list[str]:
+    """The unrolled Lloyd-training CTE chain shared by every oracle that
+    consumes trained centroids (`_kmeans_oracle`, `_semdedup_oracle`).
+    Produces CTEs v, c0..c{iters}; the final centroid relation is
+    c{iters}."""
     cos = _COS6
     mean = (
         "CAST(SUM(CAST({v} AS DECIMAL(25,15))) AS DOUBLE) / COUNT(*)"
@@ -447,6 +442,21 @@ def _kmeans_oracle(iters: int = _KM_ITERS, cells: int = _KM_CELLS) -> str:
       ) m ON m.cid = p.cid
     )"""
         )
+    return parts
+
+
+def _kmeans_oracle(iters: int = _KM_ITERS, cells: int = _KM_CELLS) -> str:
+    """DuckDB oracle for ivf_kmeans_topk with the k-means TRAINING
+    unrolled as a CTE chain — the full Lloyd iteration is value-level
+    differential-checked, not just the final search.
+
+    Cross-engine determinism: centroid means go through DECIMAL(25,15)
+    sums (order-independent, registry.py contract), cosine similarities
+    are sequential 1..64 folds rounded to 6dp, and argmin ties break on
+    cid ASC — every iteration is bit-identical in both engines, so the
+    trained centroids (and hence the ANN result) hash-match."""
+    cos = _COS6
+    parts = _kmeans_training_parts(iters, cells)
     final = f"c{iters}"
     return f"""
     WITH {", ".join(parts)},
@@ -1515,3 +1525,104 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("min").alias("which"), "vec_id", "pc1_e6"
     )
     return top.unionByName(bot).orderBy(F.desc("which"), "pc1_e6", "vec_id")
+
+
+_SEMDEDUP_TAU = 0.25
+
+
+def _semdedup_oracle(
+    iters: int = _KM_ITERS, cells: int = _KM_CELLS, tau: float = _SEMDEDUP_TAU
+) -> str:
+    """DuckDB oracle for semdedup_prune: the SAME unrolled Lloyd
+    training as _kmeans_oracle, then the cell-local pair scan and the
+    keep-lowest-id pruning decision."""
+    cos = _COS6
+    parts = _kmeans_training_parts(iters, cells)
+    final = f"c{iters}"
+    return f"""
+    WITH {", ".join(parts)},
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos.format(a="v.v", b="c.cv")} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN {final} c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT ca.cell, ca.vec_id AS ida, cb.vec_id AS idb,
+             {cos.format(a="a.v", b="b.v")} AS cos6
+      FROM cells ca
+      JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id
+      JOIN v a ON a.vec_id = ca.vec_id
+      JOIN v b ON b.vec_id = cb.vec_id
+    )
+    SELECT idb AS vec_id, CAST(MIN(cell) AS INT) AS cell,
+           CAST(MIN(ida) AS BIGINT) AS keeper_id,
+           MAX(cos6) AS max_cos6
+    FROM pairs WHERE cos6 >= {tau}
+    GROUP BY idb
+    ORDER BY vec_id
+    """
+
+
+@register("semdedup_prune", oracle=_semdedup_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    partitions the embedding space, near-duplicate pairs are scanned
+    ONLY within each cell (cosine >= {_SEMDEDUP_TAU}), and of each
+    similar pair the lower vec_id survives — returns the pruned
+    documents with their keeper and the max similarity that doomed
+    them.
+
+    Scale design: this is the published recipe precisely BECAUSE the
+    quadratic pair scan never leaves a cell — the cell id is the
+    shuffle key, per-task work is O((n/k)^2) and the corpus-level cost
+    drops k-fold vs the all-pairs join. Training reuses kmeans_train
+    (broadcast centroids, decimal-exact means), so the full pipeline —
+    Lloyd iterations, assignment, pair scan, prune decision — is
+    value-checked against the unrolled-SQL oracle."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    v = persist_tracked(emb.select("vec_id", V.as_double("embedding").alias("v")))
+    cent = persist_tracked(kmeans_train(v, iters=_KM_ITERS))
+    cells = _ivf_assign(v, cent, nprobe=1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    # Per-vector norms computed ONCE before the pair join: the score is
+    # still dot/(nrm_a * nrm_b) — the identical IEEE expression tree the
+    # oracle's _COS6 evaluates — but the quadratic stage folds each pair's
+    # arrays once (the dot) instead of three times (dot + both norms).
+    m = cells.join(v, "vec_id").withColumn("nrm", V.l2_norm(F.col("v")))
+    a = m.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos6 = F.round(
+        V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b")) & (F.col("ida") < F.col("idb")),
+        )
+        .select("cell_a", "ida", "idb", cos6.alias("cos6"))
+        .filter(F.col("cos6") >= _SEMDEDUP_TAU)
+    )
+    return (
+        pairs.groupBy(F.col("idb").alias("vec_id"))
+        .agg(
+            F.min("cell_a").cast("int").alias("cell"),
+            F.min("ida").cast("bigint").alias("keeper_id"),
+            F.max("cos6").alias("max_cos6"),
+        )
+        .select("vec_id", "cell", "keeper_id", "max_cos6")
+        .orderBy("vec_id")
+    )
