@@ -113,3 +113,33 @@ def test_pack_wav_is_byte_level_valid_container():
     assert fmt == "wav" and w is None and h is None
     assert dur == int(256 * 2 * 1000 / (8000 * 2))  # 64 ms of audio
     assert len(payload) == 44 + 256 * 2
+
+
+def test_png_roundtrip_all_filters():
+    """pack_png cycles the five PNG row filters; decode_png must invert
+    every one of them bit-exactly, including 1-pixel-wide edge cases."""
+    import numpy as np
+
+    from transit_feed_etl_spark.operators.multimodal import (
+        _bmp_pixels,
+        decode_png,
+        pack_png,
+        probe_media,
+    )
+
+    for mid, w, h in [(0, 8, 7), (5, 16, 10), (42, 1, 6), (7, 9, 1)]:
+        png = pack_png(mid, w, h)
+        kind, pw, ph, _ = probe_media(png)
+        assert (kind, pw, ph) == ("png", w, h)
+        assert np.array_equal(decode_png(png), _bmp_pixels(mid, w, h))
+
+
+def test_png_crc_verification_rejects_corruption():
+    import pytest
+
+    from transit_feed_etl_spark.operators.multimodal import decode_png, pack_png
+
+    bad = bytearray(pack_png(1, 8, 8))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))

@@ -430,3 +430,135 @@ def iter_video_frames(payload: bytes):
         off += 4
         yield f, payload[off : off + flen]
         off += flen
+
+
+# ---- PNG path: REAL encoder/decoder over stdlib zlib (no codec libs) --
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def pack_png(media_id: int, w: int, h: int) -> bytes:
+    """Spec-valid 8-bit RGB PNG (color type 2, non-interlaced) of the
+    deterministic _bmp_pixels image — signature, IHDR, one IDAT (zlib
+    deflate), IEND, all with real CRCs. Row filter types CYCLE through
+    all five PNG filters (None/Sub/Up/Average/Paeth, type = row % 5), so
+    decoding requires real unfiltering, not just inflate."""
+    import zlib
+
+    import numpy as np
+
+    bpp = 3
+    raw = _bmp_pixels(media_id, w, h).astype(np.int16).reshape(h, w * bpp)
+    out = bytearray()
+    zero = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for r in range(h):
+        row = raw[r]
+        left = np.concatenate([zero, row[:-bpp]]) if w > 1 else row * 0
+        ul = np.concatenate([zero, prev[:-bpp]]) if w > 1 else prev * 0
+        ft = r % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = row - pred
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """REAL PNG pixel decode using only stdlib zlib + numpy: chunk walk
+    with CRC verification, inflate, and full five-filter unfiltering.
+    Supports the 8-bit RGB non-interlaced profile; returns (h, w, 3)
+    uint8 top-down RGB."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    off, idat, w, h = 8, b"", None, None
+    while off + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, inter) != (8, 2, 0):
+                raise ValueError("unsupported PNG profile")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        off += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int16
+        )
+        pos += stride
+        prev = recon[r - 1].astype(np.int16) if r else np.zeros(stride, np.int16)
+        if ft == 0:
+            recon[r] = (row % 256).astype(np.uint8)
+        elif ft == 2:
+            recon[r] = ((row + prev) % 256).astype(np.uint8)
+        else:
+            cur = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"unknown filter type {ft}")
+                cur[i] = (row[i] + pred) % 256
+            recon[r] = cur.astype(np.uint8)
+    return recon.reshape(h, w, 3)

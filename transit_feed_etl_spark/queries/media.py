@@ -115,8 +115,9 @@ def media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_media) — NOT the FAKE stub header. The oracle recomputes
     dimensions/duration from the construction formulas, so the byte
     layouts, endianness handling, and the RIFF chunk walk are all
-    differential-checked. Pixel decode stays out of scope (no codec libs
-    in the image); header decode — what curation filters on — is real."""
+    differential-checked. Header decode — what curation filters on — is
+    real here; PNG PIXEL decode is real too (see image_png_decode_stats,
+    stdlib-zlib codec); JPEG pixels stay out of scope (needs a DCT codec)."""
     d = table_par(spark, sf_dir, "documents")
     did = F.col("doc_id")
     w = (F.lit(32) + did % 512).cast("int")
@@ -279,7 +280,8 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sampled pixel from the closed-form generator — a wrong stride,
     row order, channel order, or sampling anchor breaks the hash. This
     closes the decode/resize stub gap for BMP the way the WAV path does
-    for audio; PNG/JPEG stay header-only (codec needs PIL)."""
+    for audio; PNG pixels are covered by `image_png_decode_stats`
+    (stdlib-zlib codec); JPEG stays header-only (codec needs PIL)."""
     from transit_feed_etl_spark.operators.multimodal import (
         decode_bmp,
         pack_bmp,
@@ -496,3 +498,72 @@ def image_avg_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_a", "media_b", "hamming")
         .orderBy("media_a", "media_b")
     )
+
+
+@register(
+    "image_png_decode_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + CAST(doc_id % 9 AS INT) AS w, 4 + CAST(doc_id % 7 AS INT) AS h
+      FROM documents WHERE doc_id < 100
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+    pix AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+    ch AS (
+      SELECT doc_id, w, h,
+             SUM((doc_id * 7 + x * 13 + y * 29 + 0) % 256) AS sr,
+             SUM((doc_id * 7 + x * 13 + y * 29 + 3) % 256) AS sg,
+             SUM((doc_id * 7 + x * 13 + y * 29 + 6) % 256) AS sb,
+             COUNT(*) AS n
+      FROM pix GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sr + sg + sb AS BIGINT) AS px_sum,
+           CAST(FLOOR(CAST(sr AS DOUBLE) / n * 1e4) AS BIGINT) AS mean_r_e4,
+           CAST(FLOOR(CAST(sg AS DOUBLE) / n * 1e4) AS BIGINT) AS mean_g_e4,
+           CAST(FLOOR(CAST(sb AS DOUBLE) / n * 1e4) AS BIGINT) AS mean_b_e4
+    FROM ch
+    ORDER BY media_id
+    """,
+)
+def image_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG path end-to-end with ZERO codec libraries: deterministic
+    RGB images encoded as spec-valid PNGs (zlib deflate, real CRCs, row
+    filters cycling through all five PNG filter types), then pixel-
+    DECODED back (chunk walk + CRC verify + inflate + full unfiltering,
+    operators/multimodal.py:decode_png) and reduced to per-channel
+    means + a total pixel checksum. The oracle recomputes every pixel
+    from the closed-form generator, so a wrong filter reconstruction,
+    CRC, stride, or channel order anywhere in the codec breaks the hash.
+    This closes the PNG half of the decode-stub gap the way the BMP/WAV
+    paths did; JPEG stays header-only (DCT entropy coding genuinely
+    needs a codec library)."""
+    import numpy as np
+    import pandas as pd
+
+    d = table_par(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def batches(it):
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "px_sum",
+                "mean_r_e4", "mean_g_e4", "mean_b_e4",
+            )}
+            for mid in pdf["doc_id"]:
+                w, h = 8 + mid % 9, 4 + mid % 7
+                arr = MM.decode_png(MM.pack_png(mid, w, h)).astype(np.float64)
+                means = arr.mean(axis=(0, 1))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(arr.sum()))
+                for k, v in zip(("mean_r_e4", "mean_g_e4", "mean_b_e4"), means):
+                    out[k].append(int(np.floor(v * 1e4)))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "media_id long, width int, height int, px_sum long, "
+        "mean_r_e4 long, mean_g_e4 long, mean_b_e4 long"
+    )
+    return d.select("doc_id").mapInPandas(batches, schema).orderBy("media_id")
