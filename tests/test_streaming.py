@@ -427,3 +427,51 @@ def test_transform_with_state_quota(spark, tmp_path):
     assert (1, 4, 4, 4) in rows
     assert (1, 4, 1, 5) in rows
     assert (2, 1, 1, 1) in rows
+
+
+def test_corpus_dedup_across_batches(spark, tmp_path):
+    """Historical dedup: a duplicate arriving N batches later must still
+    be dropped (state = persistent digest store, not a watermark), the
+    first-seen id must survive, and in-batch duplicates collapse to the
+    lowest id."""
+    import json as _json
+
+    from transit_feed_etl_spark.streaming.corpus_dedup import (
+        start_corpus_dedup_stream,
+    )
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def spool_file(name, rows):
+        (spool / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    # batch 1: doc 3 and 5 share content -> 3 survives
+    spool_file("b1.json", [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 3, "text": "same-content"},
+        {"doc_id": 5, "text": "same-content"},
+    ])
+    q = start_corpus_dedup_stream(spark, str(spool), out, store, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2 (separate run, same store): one historical dup, one new
+    spool_file("b2.json", [
+        {"doc_id": 9, "text": "alpha"},          # dup of batch-1 doc 1
+        {"doc_id": 11, "text": "brand-new"},
+    ])
+    q = start_corpus_dedup_stream(spark, str(spool), out, store, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, "alpha"), (3, "same-content"), (11, "brand-new")}
+    # store carries one digest row per appended fresh row
+    assert spark.read.parquet(store).distinct().count() == 3

@@ -1,0 +1,85 @@
+"""Incremental corpus dedup: exact content dedup of a document stream
+against a PERSISTENT digest store — the streaming face of the dedup
+family (queries/dedup.py holds the batch faces).
+
+This is the shape a continuously-ingesting pretraining pipeline runs: a
+crawl delivers micro-batches forever, and a document must survive at
+most once across the WHOLE history, not merely within a watermark
+(`dropDuplicatesWithinWatermark` bounds state by time; a training
+corpus cannot — yesterday's duplicate is still a duplicate).
+
+Scale design:
+- The store holds 16-byte md5 digests, never bodies; the anti-join
+  shuffles digests only. At 100 TB the store is itself a big table —
+  partition it by digest prefix (`pmod(conv(substring(digest,1,4),...)`)
+  so both sides of the anti-join co-partition, and compact it like any
+  append-only table (pipeline/gtfs.py:compact_partitions).
+- In-batch dedup happens BEFORE the store join (first-seen = lowest id,
+  deterministic), so the store append is idempotent per digest within a
+  batch.
+- The fresh set is materialized (localCheckpoint) BEFORE its digests are
+  appended — the store append must not invalidate the lazy plan that
+  reads the store (a lazy `fresh` re-evaluated after the append would
+  anti-join against its own digests and drop everything).
+- Exactly-once across restarts comes from the streaming checkpoint:
+  a replayed batch re-appends digests (harmless duplicates in the
+  store, still correct dedup semantics) and re-writes the same fresh
+  rows only if the sink write itself failed mid-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One foreachBatch body: returns the batch rows whose content was
+    never seen before (in this batch or any prior one) and appends their
+    digests to the store. The returned frame is already materialized."""
+    spark = batch.sparkSession
+    digests = batch.withColumn("_digest", F.md5(F.col(text_col)))
+    rn = F.row_number().over(W.partitionBy("_digest").orderBy(id_col))
+    firsts = digests.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    try:
+        seen = spark.read.parquet(store_path).select("digest")
+    except AnalysisException:
+        seen = spark.createDataFrame([], "digest string")
+    fresh = firsts.join(
+        seen, firsts["_digest"] == seen["digest"], "left_anti"
+    ).localCheckpoint()  # snapshot BEFORE the store append (see module doc)
+    fresh.select(F.col("_digest").alias("digest")).write.mode("append").parquet(
+        store_path
+    )
+    return fresh.drop("_digest")
+
+
+def start_corpus_dedup_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """File-source document stream -> historical dedup -> parquet sink.
+    availableNow trigger: drains whatever is spooled, then stops — run
+    it per ingestion cycle (the A23 cadence) or swap in a processingTime
+    trigger for continuous operation."""
+    stream = spark.readStream.schema("doc_id long, text string").json(spool_dir)
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        fresh = dedup_batch_against_store(batch, store_path)
+        fresh.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
