@@ -413,3 +413,22 @@ def test_pigeonhole_blocking_finds_every_distance1_pair(spark):
     exact = {(r["ak"], r["bk"]) for r in quad.collect()}
     assert blocked == exact
     assert len(exact) > 10  # the corpus genuinely exercises the property
+
+
+def test_batch_perceptron_converges_on_separable_data(spark):
+    """The training loop must actually LEARN when the data permits it:
+    on a linearly separable 2-feature blob the misclassification count
+    must reach 0 within a few rounds (the driver corpus's labels are
+    unlearnable by construction, so convergence is pinned here)."""
+    from transit_feed_etl_spark.operators.linear import batch_perceptron
+
+    rows = []
+    for i in range(60):
+        # class +1 around (2, 2), class -1 around (-2, -2); radius < 1
+        s = 1.0 if i % 2 == 0 else -1.0
+        jx, jy = ((i * 37) % 19 - 9) / 10.0, ((i * 53) % 17 - 8) / 10.0
+        rows.append((s, 1.0, s * 2.0 + jx * 0.4, s * 2.0 + jy * 0.4))
+    feats = spark.createDataFrame(rows, "y double, x0 double, x1 double, x2 double")
+    traj = batch_perceptron(feats, n_features=3, rounds=6, lr0=1.0).collect()
+    assert traj[0]["n_misclassified"] == 60  # round 1: zero weights
+    assert traj[-1]["n_misclassified"] == 0, [r["n_misclassified"] for r in traj]

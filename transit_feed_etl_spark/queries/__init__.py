@@ -9,6 +9,7 @@ from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     analytics,
     asof_queries,
     bpe,
+    classifier,
     cleaning,
     curation,
     dedup,
