@@ -6,7 +6,7 @@ oracle-parity gate cannot see. ~8 min at sf0.01; run before a round
 hand-off, not in the pytest loop.
 
 Usage: python tools/determinism_audit.py [sf_dir]
-Last clean run: 149/149 deterministic at sf0.01.
+Last clean run: 185/185 deterministic at sf0.01 (round-2 judged session).
 """
 
 from __future__ import annotations
