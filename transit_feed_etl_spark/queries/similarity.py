@@ -1626,3 +1626,254 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", "keeper_id", "max_cos6")
         .orderBy("vec_id")
     )
+
+
+def _pca_power_sql_parts(mat: str, pref: str, iters: int) -> list[str]:
+    """Unrolled power-iteration CTEs over a (i, j, cij) matrix relation:
+    {pref}0 (all-ones start) .. {pref}{iters} (unit eigvec estimate)."""
+    parts = [
+        f"""{pref}0 AS (
+      SELECT CAST(range AS INT) AS i, CAST(1.0 AS DOUBLE) AS vv
+      FROM range(1, {EMB_DIM} + 1)
+    )"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""{pref}w{k} AS (
+      SELECT c.i, CAST(SUM(CAST(c.cij * p.vv AS DECIMAL(25,15))) AS DOUBLE) AS w
+      FROM {mat} c JOIN {pref}{k} p ON p.i = c.j
+      GROUP BY c.i
+    )"""
+        )
+        parts.append(
+            f"""{pref}n{k} AS (
+      SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,15))) AS DOUBLE)) AS nrm
+      FROM {pref}w{k}
+    )"""
+        )
+        parts.append(
+            f"""{pref}{k + 1} AS MATERIALIZED (
+      SELECT i, w / (SELECT nrm FROM {pref}n{k}) AS vv FROM {pref}w{k}
+    )"""
+        )
+    return parts
+
+
+def _pca2_oracle(iters: int = _PCA_ITERS) -> str:
+    """Oracle for pca_top2_projections: component 1 exactly as
+    _pca_oracle, then Rayleigh-quotient deflation (C2 = C - l1*v1*v1^T)
+    and a second unrolled power iteration — every step decimal-exact."""
+    base = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""ex AS (
+      SELECT vec_id, CAST(t.i AS INT) AS i, e[t.i] AS x
+      FROM v, (SELECT CAST(range AS INT) AS i
+               FROM range(1, {EMB_DIM} + 1)) t
+    )""",
+        """mean AS (
+      SELECT i, CAST(SUM(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / COUNT(*) AS m
+      FROM ex GROUP BY i
+    )""",
+        """cx AS MATERIALIZED (
+      SELECT ex.vec_id, ex.i, ex.x - mean.m AS c FROM ex JOIN mean USING (i)
+    )""",
+        """cov AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(25,15))) AS DOUBLE) AS cij
+      FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    )""",
+    ]
+    parts = base + _pca_power_sql_parts("cov", "v", iters)
+    v1 = f"v{iters}"
+    parts += [
+        f"""wf AS (
+      SELECT c.i, CAST(SUM(CAST(c.cij * p.vv AS DECIMAL(25,15))) AS DOUBLE) AS w
+      FROM cov c JOIN {v1} p ON p.i = c.j
+      GROUP BY c.i
+    )""",
+        f"""lam AS (
+      SELECT CAST(SUM(CAST(p.vv * w.w AS DECIMAL(25,15))) AS DOUBLE) AS lam
+      FROM wf w JOIN {v1} p USING (i)
+    )""",
+        f"""cov2 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             c.cij - (SELECT lam FROM lam) * a.vv * b.vv AS cij
+      FROM cov c JOIN {v1} a ON a.i = c.i JOIN {v1} b ON b.i = c.j
+    )""",
+    ]
+    parts += _pca_power_sql_parts("cov2", "u", iters)
+    u1 = f"u{iters}"
+    return f"""
+    WITH {", ".join(parts)},
+    proj1 AS (
+      SELECT cx.vec_id,
+             CAST(SUM(CAST(cx.c * p.vv AS DECIMAL(25,15))) AS DOUBLE) AS s
+      FROM cx JOIN {v1} p USING (i) GROUP BY cx.vec_id
+    ),
+    proj2 AS (
+      SELECT cx.vec_id,
+             CAST(SUM(CAST(cx.c * p.vv AS DECIMAL(25,15))) AS DOUBLE) AS s
+      FROM cx JOIN {u1} p USING (i) GROUP BY cx.vec_id
+    ),
+    sc AS (
+      SELECT p1.vec_id,
+             CAST(FLOOR(p1.s * 1e6) AS BIGINT) AS pc1_e6,
+             CAST(FLOOR(p2.s * 1e6) AS BIGINT) AS pc2_e6
+      FROM proj1 p1 JOIN proj2 p2 USING (vec_id)
+    )
+    SELECT * FROM (
+      (SELECT 'max' AS which, vec_id, pc1_e6, pc2_e6 FROM sc
+       ORDER BY pc2_e6 DESC, vec_id LIMIT 5)
+      UNION ALL
+      (SELECT 'min' AS which, vec_id, pc1_e6, pc2_e6 FROM sc
+       ORDER BY pc2_e6 ASC, vec_id LIMIT 5)
+    ) ORDER BY which DESC, pc2_e6, vec_id
+    """
+
+
+def _pca_matvec(cov: DataFrame, varr: DataFrame) -> DataFrame:
+    """(i, w) = matrix-vector product of the (i, j, cij) relation with
+    the broadcast 1-row array — decimal-exact sum per output dim."""
+    return (
+        cov.crossJoin(F.broadcast(varr))
+        .select("i", (F.col("cij") * F.element_at("vv", F.col("j"))).alias("pd"))
+        .groupBy("i")
+        .agg(F.sum(F.col("pd").cast("decimal(25,15)")).cast("double").alias("w"))
+    )
+
+
+def _pca_power(cov: DataFrame, iters: int = _PCA_ITERS) -> DataFrame:
+    """Power iteration over a d^2-row matrix relation; returns the
+    1-row unit-vector array frame."""
+    varr = cov.sparkSession.range(1).select(
+        F.array(*[F.lit(1.0)] * EMB_DIM).alias("vv")
+    )
+    for _ in range(iters):
+        w = _pca_matvec(cov, varr)
+        nrm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,15)")).cast("double")
+            ).alias("nrm")
+        )
+        varr = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("i", (F.col("w") / F.col("nrm")).alias("vv_i"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "vv_i"))),
+                    lambda s: s["vv_i"],
+                ).alias("vv")
+            )
+            .localCheckpoint()
+        )
+    return varr
+
+
+@register("pca_top2_projections", oracle=_pca2_oracle())
+def pca_top2_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TWO principal components via Hotelling deflation: v1 by power
+    iteration (pca_top_component's construction), Rayleigh quotient
+    l1 = v1·(C v1), deflate C2 = C - l1·v1·v1^T, power-iterate again for
+    v2, then the corpus extremes along PC2 with both scores.
+
+    Scale: deflation is d^2-row arithmetic against two broadcast scalars
+    /vectors — NO additional corpus pass; top-m components cost the same
+    two corpus passes as one component plus m d^2-row iterations. This
+    is the 'deflate and repeat' claim of SCALE.md made executable and
+    oracle-checked."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double("embedding").alias("e"))
+    ex = v.select("vec_id", F.posexplode("e").alias("pos", "x")).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), "x"
+    )
+    means = ex.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    marr = means.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("marr")
+    )
+    cxd = persist_tracked(
+        v.crossJoin(F.broadcast(marr)).select(
+            "vec_id", F.zip_with("e", "marr", lambda x, m: x - m).alias("c")
+        )
+    )
+    outer = F.flatten(
+        F.transform(
+            "c",
+            lambda xi, i: F.transform(
+                F.col("c"),
+                lambda xj, j: F.struct(
+                    (i + 1).alias("i"), (j + 1).alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    cov = (
+        cxd.select(F.explode(outer).alias("s"))
+        .select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(25,15)")).cast("double").alias("cij"))
+        .localCheckpoint()
+    )
+    v1 = _pca_power(cov)
+    wf = _pca_matvec(cov, v1)
+    lam = (
+        wf.crossJoin(F.broadcast(v1))
+        .select(
+            (F.element_at("vv", F.col("i")) * F.col("w"))
+            .cast("decimal(25,15)")
+            .alias("pd")
+        )
+        .agg(F.sum("pd").cast("double").alias("lam"))
+    )
+    cov2 = (
+        cov.crossJoin(F.broadcast(v1))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("cij")
+                - F.col("lam")
+                * F.element_at("vv", F.col("i"))
+                * F.element_at("vv", F.col("j"))
+            ).alias("cij"),
+        )
+        .localCheckpoint()
+    )
+    v2 = _pca_power(cov2)
+    cxe = cxd.select("vec_id", F.posexplode("c").alias("pos", "cval")).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), "cval"
+    )
+
+    def project(varr: DataFrame, name: str) -> DataFrame:
+        return (
+            cxe.crossJoin(F.broadcast(varr))
+            .select(
+                "vec_id",
+                (F.col("cval") * F.element_at("vv", F.col("i"))).alias("pd"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.floor(
+                    F.sum(F.col("pd").cast("decimal(25,15)")).cast("double") * 1e6
+                )
+                .cast("long")
+                .alias(name)
+            )
+        )
+
+    sc = project(v1, "pc1_e6").join(project(v2, "pc2_e6"), "vec_id")
+    top = sc.orderBy(F.desc("pc2_e6"), "vec_id").limit(5).select(
+        F.lit("max").alias("which"), "vec_id", "pc1_e6", "pc2_e6"
+    )
+    bot = sc.orderBy(F.asc("pc2_e6"), "vec_id").limit(5).select(
+        F.lit("min").alias("which"), "vec_id", "pc1_e6", "pc2_e6"
+    )
+    return top.unionByName(bot).orderBy(F.desc("which"), "pc2_e6", "vec_id")
