@@ -49,3 +49,43 @@ def test_stratified_sample_quota_per_stratum(spark):
     for lang, rks in per_lang.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), lang
         assert len(rks) <= 20
+
+
+def test_cluster_aware_split_has_zero_cross_split_clusters(spark, sf_dir):
+    """Structural invariant: after cluster-aware assignment, no near-dup
+    cluster may straddle a split boundary (the leakage the doc-id hash
+    split permits)."""
+    import pyspark.sql.functions as F
+
+    from transit_feed_etl_spark.io import table_par
+    from transit_feed_etl_spark.operators import textfns as TX
+    from transit_feed_etl_spark.operators.components import connected_components
+    from transit_feed_etl_spark.operators.minhash import portable_hash60
+    from transit_feed_etl_spark.operators.prefixfilter import jaccard_prefix_pairs
+
+    d = table_par(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            TX.word_shingles(TX.tokens("text"), 3)
+        ).alias("sh"),
+    ).localCheckpoint()
+    pairs = jaccard_prefix_pairs(
+        sh, id_col="doc_id", set_col="sh", threshold=0.35
+    ).localCheckpoint()
+    cc = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+    canon = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("canonical_id", "doc_id").alias("canonical_id")
+    )
+    h = portable_hash60(F.col("canonical_id").cast("string")) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    straddlers = (
+        canon.withColumn("split", split)
+        .groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddlers == 0

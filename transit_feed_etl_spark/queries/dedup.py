@@ -490,3 +490,90 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey_a", "custkey_b", "lev")
         .orderBy("custkey_a", "custkey_b")
     )
+
+
+@register(
+    "cluster_aware_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY node),
+    canon AS (
+      SELECT d.doc_id, COALESCE(cc.canonical_id, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    ),
+    s AS (
+      SELECT doc_id, canonical_id,
+             CASE WHEN h % 100 < 90 THEN 'train'
+                  WHEN h % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, canonical_id,
+               CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(canonical_id AS VARCHAR)), 1, 15))
+                    AS UBIGINT) AS BIGINT) AS h
+        FROM canon
+      )
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT canonical_id) AS n_clusters
+    FROM s GROUP BY split
+    ORDER BY split
+    """,
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE dataset split: hash the near-dup CLUSTER's canonical
+    id, not the document id, so every member of a duplicate family lands
+    in the same train/val/test split BY CONSTRUCTION — hashing doc ids
+    (dataset_split_assignment) lets two near-identical documents straddle
+    the train/test boundary, the classic eval-contamination bug that
+    `cross_split_contamination` can only detect after the fact; this
+    query prevents it structurally.
+
+    Pipeline: prefix-filtered exact Jaccard pairs -> connected components
+    -> canonical id (singletons map to themselves) -> portable-hash
+    90/5/5 assignment on the canonical id -> per-split doc/cluster audit.
+    Deterministic and incremental like every hash split here: new
+    documents never flip old assignments unless they join a cluster."""
+    from transit_feed_etl_spark.operators.components import connected_components
+    from transit_feed_etl_spark.operators.minhash import portable_hash60
+    from transit_feed_etl_spark.operators.prefixfilter import jaccard_prefix_pairs
+
+    d = table_par(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    sh = persist_tracked(
+        toks.select(
+            "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+        )
+    )
+    sh.count()
+    pairs = persist_tracked(
+        jaccard_prefix_pairs(sh, id_col="doc_id", set_col="sh", threshold=0.35)
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+    canon = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+    )
+    h = portable_hash60(F.col("canonical_id").cast("string")) % 100
+    split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    return (
+        canon.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
