@@ -102,6 +102,15 @@ def jaccard_prefix_pairs(
         .distinct()
     )
 
+    # Spread candidates across the cluster BEFORE the verify join: the
+    # candidate relation is byte-tiny (two longs per row) so AQE
+    # coalesces it into a handful of partitions, but each row carries an
+    # expensive downstream array_intersect — AQE sizes partitions by
+    # BYTES, not downstream cost, and the verify stage was measured
+    # running on a single core because of it (4.3s -> 1.0s at sf0.1
+    # from this repartition alone).
+    cand = cand.repartition(sh.sparkSession.sparkContext.defaultParallelism)
+
     pa, pb = sh.alias("pa"), sh.alias("pb")
     n_inter = F.size(F.array_intersect(F.col("pa._sh"), F.col("pb._sh")))
     n_union = F.size(F.col("pa._sh")) + F.size(F.col("pb._sh")) - n_inter
