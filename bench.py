@@ -55,6 +55,7 @@ HEADLINE = (
     "pca_top_component",         # scatter-matrix PCA, partial-agg accumulation
     "bpe_encode_token_counts",   # tokenizer train + apply + token accounting
     "semdedup_prune",            # k-means-cell-partitioned semantic dedup
+    "cluster_aware_split",       # near-dup clusters -> leakage-safe split
 )
 
 

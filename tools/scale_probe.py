@@ -95,7 +95,31 @@ def main() -> int:
     dirs = {k: build_dir(spark, k, need) for k in ks}
     print(f"built {len(dirs)} scaled dirs: {sorted(dirs.values())}", flush=True)
 
+    # SemDeDup with cells grown proportionally to the corpus — the
+    # production sizing rule (SCALE.md): per-cell membership (and thus
+    # per-task quadratic work) stays constant, so scaling should be
+    # ~linear where the fixed-16-cell registered query is ~quadratic.
+    from transit_feed_etl_spark.operators import vectors as VV
+    from transit_feed_etl_spark.io import table_par
+    from transit_feed_etl_spark.queries.similarity import semdedup_pairs
+
     results: dict[str, dict[int, float]] = {}
+    name = "semdedup_prune[cells=16k]"
+    results[name] = {}
+    for k in ks:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            v = table_par(spark, dirs[k], "embeddings").select(
+                "vec_id", VV.as_double("embedding").alias("v")
+            )
+            n = semdedup_pairs(v, n_cells=16 * k).count()
+            best = min(best, time.monotonic() - t0)
+            release_caches()
+            spark.catalog.clearCache()
+        results[name][k] = best
+        print(f"  {name} x{k}: {best:.2f}s ({n} rows)", flush=True)
+
     for name, _ in PROBES:
         q = QUERIES[name]
         results[name] = {}

@@ -1584,7 +1584,21 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked against the unrolled-SQL oracle."""
     emb = table_par(spark, sf_dir, "embeddings")
     v = persist_tracked(emb.select("vec_id", V.as_double("embedding").alias("v")))
-    cent = persist_tracked(kmeans_train(v, iters=_KM_ITERS))
+    return semdedup_pairs(v, n_cells=_KM_CELLS)
+
+
+def semdedup_pairs(
+    v: DataFrame,
+    n_cells: int = _KM_CELLS,
+    iters: int = _KM_ITERS,
+    tau: float = _SEMDEDUP_TAU,
+) -> DataFrame:
+    """The SemDeDup pipeline over a (vec_id, v) frame with a
+    parameterized cell count — the registered query pins n_cells so the
+    unrolled oracle stays tractable; tools/scale_probe.py calls this
+    directly with cells grown proportionally to the corpus (the
+    production sizing rule, SCALE.md)."""
+    cent = persist_tracked(kmeans_train(v, iters=iters, n_cells=n_cells))
     cells = _ivf_assign(v, cent, nprobe=1).select(
         "vec_id", F.col("cid").alias("cell")
     )
@@ -1614,7 +1628,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_a") == F.col("cell_b")) & (F.col("ida") < F.col("idb")),
         )
         .select("cell_a", "ida", "idb", cos6.alias("cos6"))
-        .filter(F.col("cos6") >= _SEMDEDUP_TAU)
+        .filter(F.col("cos6") >= tau)
     )
     return (
         pairs.groupBy(F.col("idb").alias("vec_id"))
