@@ -12,6 +12,7 @@ from transit_feed_etl_spark.queries import (  # noqa: F401,E402
     classifier,
     cleaning,
     curation,
+    datasetops,
     dedup,
     graph,
     joins,

@@ -1,0 +1,284 @@
+"""Dataset-maintenance operators: MERGE/upsert, SCD2 history builds,
+cross-document duplicated-n-gram stats, and training-shard manifests.
+
+These are the table-maintenance and dataset-assembly steps a 100 TB
+training-data pipeline runs around the query engine proper:
+
+- MERGE INTO (upsert) is the reference's catalog-insert (SURVEY A16,
+  reference gtfs_rt_assets.py:170-190) generalized to the industry-
+  standard three-way action (update / insert / keep). Spark has no
+  MERGE over plain parquet, so we express it as the canonical full-
+  outer join on the merge key — exactly what Delta/Iceberg compile
+  MERGE into, minus the transactional commit.
+- SCD2 (slowly-changing-dimension type 2) turns an append-only change
+  feed into versioned effective-dated rows — one window over the
+  natural key, no self-join.
+- Duplicated-n-gram coverage is the cross-document repetition signal
+  used by public web-corpus pipelines (Gopher/RefinedWeb/Dolma rules):
+  unlike `doc_repetition_scores` (WITHIN-doc repetition,
+  queries/cleaning.py) it measures how much of a document duplicates
+  text seen in OTHER documents.
+- The shard manifest is the last step before tokenization: assign every
+  document to a training shard deterministically and emit per-shard
+  accounting (doc/char totals + checksum) so a re-run can verify
+  shard-level reproducibility without re-reading payloads.
+
+Scale design notes are on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.operators import minhash as MH
+from transit_feed_etl_spark.operators import textfns as TX
+from transit_feed_etl_spark.registry import register
+
+# portable_hash60 of doc_id (same convention as queries/curation.py)
+_H60_ID_SQL = (
+    "CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS UBIGINT) AS BIGINT)"
+)
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+
+
+@register(
+    "merge_upsert_customer_balance",
+    oracle="""
+    WITH src AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS delta
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    tgt AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 100
+    )
+    SELECT COALESCE(t.c_custkey, s.user_id) AS custkey,
+           CASE WHEN t.c_custkey IS NOT NULL AND s.user_id IS NOT NULL
+                  THEN 'update'
+                WHEN t.c_custkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS action,
+           t.c_acctbal AS old_balance,
+           s.delta AS delta,
+           CASE WHEN s.user_id IS NULL THEN t.c_acctbal
+                WHEN t.c_custkey IS NULL THEN s.delta
+                ELSE t.c_acctbal + s.delta END AS new_balance
+    FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.user_id
+    ORDER BY custkey
+    """,
+)
+def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over plain DataFrames: a change feed of
+    purchase deltas upserted into a balance dimension. MATCHED rows get
+    `update` (balance + delta), source-only keys get `insert`, target-
+    only keys get `keep` — the full three-action MERGE surface as ONE
+    full-outer join, which is precisely the physical plan Delta Lake /
+    Iceberg generate for MERGE (generalizes reference catalog insert,
+    gtfs_rt_assets.py:170-190).
+
+    Scale: the source side is pre-aggregated (purchase deltas partial-
+    agg before the shuffle), so the join carries one row per key per
+    side; both sides shuffle on the merge key once. Deltas sum through
+    DECIMAL so the merged balance is partitioning-independent."""
+    ev = table(spark, sf_dir, "events")
+    src = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("delta")
+        )
+    )
+    tgt = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_acctbal")
+    )
+    j = tgt.join(src, tgt.c_custkey == src.user_id, "full_outer")
+    both = F.col("c_custkey").isNotNull() & F.col("user_id").isNotNull()
+    return (
+        j.select(
+            F.coalesce("c_custkey", "user_id").alias("custkey"),
+            F.when(both, "update")
+            .when(F.col("c_custkey").isNull(), "insert")
+            .otherwise("keep")
+            .alias("action"),
+            F.col("c_acctbal").alias("old_balance"),
+            F.col("delta"),
+            F.when(F.col("user_id").isNull(), F.col("c_acctbal"))
+            .when(F.col("c_custkey").isNull(), F.col("delta"))
+            .otherwise(F.col("c_acctbal") + F.col("delta"))
+            .alias("new_balance"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "scd2_purchase_value_history",
+    oracle="""
+    SELECT user_id, version, value, effective_from, effective_to, is_current
+    FROM (
+      SELECT user_id,
+             ROW_NUMBER() OVER w AS version,
+             value,
+             ts AS effective_from,
+             LEAD(ts) OVER w AS effective_to,
+             LEAD(ts) OVER w IS NULL AS is_current
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    ORDER BY user_id, version
+    """,
+)
+def scd2_purchase_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from an append-only change feed: each
+    purchase becomes a versioned row with [effective_from, effective_to)
+    validity and an `is_current` flag on the open-ended latest version.
+    ONE window shuffle on the natural key — no self-join, no per-key
+    driver loop; at 100 TB the change feed shuffles once on user_id and
+    every version row is derived from its in-partition successor."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).alias("version"),
+            "value",
+            F.col("ts").alias("effective_from"),
+            nxt.alias("effective_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+@register(
+    "dup_ngram_doc_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                      i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [] END) AS gram
+      FROM toks
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(CAST(CONCAT('0x', SUBSTR(md5(gram), 1, 15)) AS UBIGINT)
+                  AS BIGINT) AS gh
+      FROM sh
+    ),
+    cnt AS (SELECT gh, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gh),
+    per AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN cnt.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+      FROM g JOIN cnt USING (gh)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           COALESCE(per.n_dup_grams, 0) AS n_dup_grams,
+           CASE WHEN per.n_grams IS NULL THEN 0.0
+                ELSE per.n_dup_grams / per.n_grams END AS dup_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dup_ngram_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document duplicated-n-gram coverage (RefinedWeb/Dolma-style
+    dedup signal): the fraction of a document's word 5-grams that also
+    occur in at least one OTHER document. Complements
+    `doc_repetition_scores` (within-doc repetition) — together they are
+    the standard repetition-based quality gate pair.
+
+    Scale: grams shuffle as 8-byte portable hashes (never strings);
+    global gram frequencies partial-aggregate map-side, so the exchange
+    carries one row per distinct gram per partition, and the join back
+    to per-doc grams is an equi-join on the hash. No all-pairs stage
+    anywhere — cost is O(total grams), not O(docs^2)."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(TX.word_shingles(TX.tokens("text"), 5)).alias("gram"),
+        )
+        .select("doc_id", MH.portable_hash60(F.col("gram")).alias("gh"))
+    )
+    cnt = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("ndocs"))
+    per = (
+        g.join(cnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.when(F.col("n_grams").isNull(), F.lit(0.0))
+            .otherwise(F.col("n_dup_grams") / F.col("n_grams"))
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+    SELECT h % 16 AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(h % 1000003) AS BIGINT) AS checksum,
+           MIN(h) AS min_h,
+           MAX(h) AS max_h
+    FROM (SELECT n_chars, {_H60_ID_SQL} AS h FROM documents)
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest:
+    shard = content-id hash mod 16, with doc/char totals and a hash
+    checksum per shard. The manifest is what makes a 100 TB tokenization
+    run verifiable — re-running the assignment must reproduce identical
+    per-shard counts and checksums before any shard is re-tokenized.
+
+    Scale: assignment is a scan-stage expression (zero shuffle — same
+    rationale as `hash_sample_documents`); the manifest aggregate
+    partial-aggregates into 16 groups, so the exchange carries 16 rows
+    per partition regardless of corpus size. Within-shard training order
+    is (h, doc_id) — a deterministic uniform permutation needing no
+    global sort."""
+    d = table(spark, sf_dir, "documents")
+    h = MH.portable_hash60(F.col("doc_id").cast("string"))
+    return (
+        d.select(F.col("n_chars"), h.alias("h"))
+        .groupBy((F.col("h") % 16).alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("h") % 1000003).alias("checksum"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+        .orderBy("shard_id")
+    )
