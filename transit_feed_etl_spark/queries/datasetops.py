@@ -282,3 +282,49 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a pre-existing
+    aggregate STATE (events before the cutoff) merged with a DELTA
+    batch's aggregate (events at/after the cutoff) by re-aggregating the
+    union of the two partial states — never re-reading the historical
+    raw data. The ORACLE is the full recompute over all events, so the
+    parity check proves the merge law (count merges by sum, decimal sums
+    merge exactly) rather than just replaying the same plan twice.
+
+    Scale: this is THE pattern for keeping 100 TB rollups fresh — the
+    daily job aggregates only the new partition and merges with the
+    stored state table; decimal sums make the merged result bit-equal to
+    a from-scratch recompute regardless of how history was batched."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+
+    state = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
