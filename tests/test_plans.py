@@ -587,3 +587,47 @@ def test_bpe_encode_vocab_sized_merge_application(spark):
     plan = _final_plan(QUERIES["bpe_encode_token_counts"].builder(spark, SF))
     assert "partial_sum" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_three_action_preaggregates_source(spark):
+    """Three-action MERGE (datasetops): the change feed partial-
+    aggregates BEFORE the full-outer join shuffle, the event_type
+    predicate reaches the scan, and nothing degenerates to a
+    nested-loop/cartesian plan."""
+    plan = _final_plan(QUERIES["merge_upsert_customer_balance"].builder(spark, SF))
+    assert "FullOuter" in plan
+    assert "partial_sum" in plan
+    assert "DataFilters: [isnotnull(event_type" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_ngram_hash_keyed_no_allpairs(spark):
+    """Cross-doc n-gram stats: every exchange keys on the 8-byte gram
+    hash or doc_id (never a string gram), with map-side partial
+    aggregation and no all-pairs operator anywhere."""
+    plan = _final_plan(QUERIES["dup_ngram_doc_stats"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    for m in re.finditer(r"hashpartitioning\(([a-zA-Z_0-9#]+)", plan):
+        assert m.group(1).split("#")[0] in {"gh", "doc_id"}, m.group(0)
+
+
+def test_shard_manifest_single_agg_exchange(spark):
+    """Shard manifest: assignment is a scan-stage expression, so the
+    whole query is ONE 16-group aggregate exchange (plus the final
+    16-row sort)."""
+    plan = _final_plan(QUERIES["training_shard_manifest"].builder(spark, SF))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "partial_count" in plan
+
+
+def test_incremental_merge_partial_states(spark):
+    """Incremental rollup merge: both the state and delta branches
+    partial-aggregate before any exchange, and the cutoff predicates
+    push down to the scans."""
+    plan = _final_plan(QUERIES["incremental_agg_merge"].builder(spark, SF))
+    assert "partial_sum" in plan
+    assert "DataFilters: [isnotnull(ts" in plan
+    assert "CartesianProduct" not in plan
