@@ -56,6 +56,9 @@ HEADLINE = (
     "bpe_encode_token_counts",   # tokenizer train + apply + token accounting
     "semdedup_prune",            # k-means-cell-partitioned semantic dedup
     "cluster_aware_split",       # near-dup clusters -> leakage-safe split
+    "dup_ngram_doc_stats",       # cross-doc duplicated-n-gram coverage
+    "merge_upsert_customer_balance",  # MERGE upsert as pre-agg'd full-outer join
+    "incremental_agg_merge",     # materialized-view partial-agg state merge
 )
 
 

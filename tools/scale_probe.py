@@ -43,6 +43,9 @@ PROBES = [
     ("pca_top_component", {"embeddings": ["vec_id"]}),
     ("semdedup_prune", {"embeddings": ["vec_id"]}),
     ("bpe_encode_token_counts", {"documents": ["doc_id"]}),
+    ("dup_ngram_doc_stats", {"documents": ["doc_id"]}),
+    ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
+    ("sessionize_events", {"events": ["event_id"]}),
 ]
 
 OFFSET = 10_000_000

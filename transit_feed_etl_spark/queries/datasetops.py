@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from transit_feed_etl_spark.io import table
+from transit_feed_etl_spark.caching import persist_tracked
+from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.operators import minhash as MH
 from transit_feed_etl_spark.operators import textfns as TX
 from transit_feed_etl_spark.registry import register
@@ -207,13 +208,19 @@ def dup_ngram_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries one row per distinct gram per partition, and the join back
     to per-doc grams is an equi-join on the hash. No all-pairs stage
     anywhere — cost is O(total grams), not O(docs^2)."""
-    d = table(spark, sf_dir, "documents")
-    g = (
-        d.select(
+    d = table_par(spark, sf_dir, "documents")
+    # Two-step projection (tokens as an attribute BEFORE the shingle
+    # lambda) — inlining tokens() into word_shingles re-tokenizes the
+    # doc per element_at call (~100x measured; operators/minhash.py).
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    # Materialize the hashed-gram relation ONCE: it feeds both the
+    # global frequency count and the join back (same pattern as the
+    # shingle cache in queries/dedup.py); released via release_caches().
+    g = persist_tracked(
+        toks.select(
             "doc_id",
-            F.explode(TX.word_shingles(TX.tokens("text"), 5)).alias("gram"),
-        )
-        .select("doc_id", MH.portable_hash60(F.col("gram")).alias("gh"))
+            F.explode(TX.word_shingles(F.col("toks"), 5)).alias("gram"),
+        ).select("doc_id", MH.portable_hash60(F.col("gram")).alias("gh"))
     )
     cnt = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("ndocs"))
     per = (
