@@ -1457,25 +1457,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.zip_with("e", "marr", lambda x, m: x - m).alias("c")
         )
     )
-    outer = F.flatten(
-        F.transform(
-            "c",
-            lambda xi, i: F.transform(
-                F.col("c"),
-                lambda xj, j: F.struct(
-                    (i + 1).alias("i"), (j + 1).alias("j"), (xi * xj).alias("p")
-                ),
-            ),
-        )
-    )
-    cov = (
-        cxd.select(F.explode(outer).alias("s"))
-        .select("s.i", "s.j", "s.p")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast("decimal(25,15)")).cast("double").alias("cij"))
-        .localCheckpoint()  # d^2 rows; snapshot so iterations never
-        # re-run the corpus-sized accumulation
-    )
+    cov = _scatter_matrix(cxd)
     varr = v.sparkSession.range(1).select(
         F.array(*[F.lit(1.0)] * EMB_DIM).alias("vv")
     )
@@ -1746,6 +1728,46 @@ def _pca2_oracle(iters: int = _PCA_ITERS) -> str:
     """
 
 
+def _scatter_matrix(cxd: DataFrame) -> DataFrame:
+    """Full d x d scatter matrix (i, j, cij) of a centered (vec_id, c)
+    frame — built from the UPPER TRIANGLE only, then mirrored.
+
+    The matrix is symmetric, so the corpus-sized pass (explode each row
+    into per-pair contributions, partial-aggregate to matrix cells
+    before the one shuffle) emits only the d(d+1)/2 pairs with j >= i —
+    half the explode volume, half the shuffle bytes of the naive d^2
+    build. The mirror is a d^2/2-row projection over the checkpointed
+    triangle, free relative to the corpus pass. Bit-exactness vs the
+    full build (and hence vs the unrolled-SQL oracle): IEEE multiply is
+    commutative so c_i*c_j is the identical double to c_j*c_i, and the
+    per-cell DECIMAL(25,15) sums are order-independent — the mirrored
+    cell is the same 8 bytes the naive build would have produced."""
+    outer = F.flatten(
+        F.transform(
+            "c",
+            lambda xi, i: F.transform(
+                F.slice(F.col("c"), i + 1, F.lit(EMB_DIM) - i),
+                lambda xj, k: F.struct(
+                    (i + 1).alias("i"), (i + k + 1).alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    upper = (
+        cxd.select(F.explode(outer).alias("s"))
+        .select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(25,15)")).cast("double").alias("cij"))
+        .localCheckpoint()  # d(d+1)/2 rows; snapshot so power iterations
+        # never re-run the corpus-sized accumulation
+    )
+    return upper.unionByName(
+        upper.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cij"
+        )
+    )
+
+
 def _pca_matvec(cov: DataFrame, varr: DataFrame) -> DataFrame:
     """(i, w) = matrix-vector product of the (i, j, cij) relation with
     the broadcast 1-row array — decimal-exact sum per output dim."""
@@ -1817,24 +1839,7 @@ def pca_top2_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.zip_with("e", "marr", lambda x, m: x - m).alias("c")
         )
     )
-    outer = F.flatten(
-        F.transform(
-            "c",
-            lambda xi, i: F.transform(
-                F.col("c"),
-                lambda xj, j: F.struct(
-                    (i + 1).alias("i"), (j + 1).alias("j"), (xi * xj).alias("p")
-                ),
-            ),
-        )
-    )
-    cov = (
-        cxd.select(F.explode(outer).alias("s"))
-        .select("s.i", "s.j", "s.p")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast("decimal(25,15)")).cast("double").alias("cij"))
-        .localCheckpoint()
-    )
+    cov = _scatter_matrix(cxd)
     v1 = _pca_power(cov)
     wf = _pca_matvec(cov, v1)
     lam = (
