@@ -631,3 +631,53 @@ def test_incremental_merge_partial_states(spark):
     assert "partial_sum" in plan
     assert "DataFilters: [isnotnull(ts" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering (Spark's InjectRuntimeFilter): when a
+    selective dim-side predicate feeds a shuffle join, the optimizer
+    builds a bloom filter over the join keys and applies
+    might_contain() on the fact side BEFORE its shuffle — at 100 TB
+    this is the lever that keeps a selective fact-dim join from
+    shuffling the whole fact table. Local testdata sits under the
+    default 10 GB application-side threshold, so the test lowers the
+    thresholds to force the decision the optimizer would make at scale
+    (and restores them after)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: with a broadcast join the runtime filter
+        # is pointless (the dim rides along anyway)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = (
+            table(spark, SF, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_extendedprice").alias("rev")
+        )
+        plan = _final_plan(j)
+        # bloom filter built from the selective dim side...
+        assert "bloom_filter_agg" in plan, plan
+        # ...and applied as might_contain on the fact side's scan stage
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
