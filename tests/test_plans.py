@@ -681,3 +681,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_exact_substring_spans_hash_keyed_no_allpairs(spark):
+    """Exact-substring spans: grams move as 8-byte hashes keyed on gh or
+    doc_id (plus the island window's doc_id partition); no all-pairs
+    operator; the gram-frequency aggregate partial-aggregates map-side."""
+    plan = _final_plan(QUERIES["exact_substring_spans"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"hashpartitioning\(([a-zA-Z_0-9#]+)", plan):
+        assert m.group(1).split("#")[0] in {"gh", "doc_id"}, m.group(0)

@@ -335,3 +335,140 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(t.i AS INT) AS s, CAST(t.i + 4 AS INT) AS e,
+             array_to_string(toks[t.i:t.i+4], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(toks) - 3)) AS t(i)
+    ),
+    g AS (
+      SELECT doc_id, s, e,
+             CAST(CAST(CONCAT('0x', SUBSTR(md5(gram), 1, 15)) AS UBIGINT)
+                  AS BIGINT) AS gh
+      FROM sh
+    ),
+    cnt AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT g.doc_id, g.s, g.e FROM g JOIN cnt USING (gh)),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS ee
+      FROM isl GROUP BY doc_id, island
+    ),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(ee - ss + 1) AS BIGINT) AS dup_tokens,
+             MAX(ee - ss + 1) AS max_span
+      FROM spans GROUP BY doc_id
+    ),
+    ntk AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM toks)
+    SELECT d.doc_id, ntk.n_tokens,
+           COALESCE(per.n_spans, 0) AS n_spans,
+           COALESCE(per.dup_tokens, 0) AS dup_tokens,
+           COALESCE(per.max_span, 0) AS max_span,
+           CASE WHEN ntk.n_tokens = 0 THEN 0.0
+                ELSE COALESCE(per.dup_tokens, 0) / ntk.n_tokens END AS dup_frac
+    FROM documents d
+    JOIN ntk USING (doc_id)
+    LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup SPANS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): the position-level
+    complement of `dup_ngram_doc_stats`. A word 5-gram is "duplicated"
+    when it appears in >= 2 distinct documents; each duplicated gram
+    covers token positions [p, p+4]; overlapping-or-adjacent covered
+    intervals merge into maximal SPANS per document (gaps-and-islands
+    over one window). Output per doc: span count, duplicated-token
+    total, longest span, duplicated fraction — exactly what the
+    span-cutting dedup step needs to decide what to excise. (The
+    production recipe uses ~50-token spans over bytes; 5 keeps the
+    signal non-trivial on the synthetic corpus.)
+
+    Scale: grams shuffle as 8-byte portable hashes with positions (no
+    strings past the scan stage); the duplicated-gram filter is an
+    equi-join on the hash against a HAVING-filtered partial-aggregated
+    frequency relation; the islands merge is ONE window shuffle keyed on
+    doc_id. No all-pairs stage — O(total grams) like the gram-count
+    variant, plus one narrow window pass."""
+    L = 5
+    d = table_par(spark, sf_dir, "documents")
+    # two-step projection: tokens as an attribute BEFORE the shingle
+    # lambda (the ~100x re-tokenization trap, operators/minhash.py)
+    toks = persist_tracked(d.select("doc_id", TX.tokens("text").alias("toks")))
+    sh = toks.select(
+        "doc_id", F.posexplode(TX.word_shingles(F.col("toks"), L)).alias("pos", "gram")
+    )
+    g = persist_tracked(
+        sh.select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("s"),
+            (F.col("pos") + L).cast("int").alias("e"),
+            MH.portable_hash60(F.col("gram")).alias("gh"),
+        )
+    )
+    dup_gh = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gh")
+    )
+    dup = g.join(dup_gh, "gh").select("doc_id", "s", "e")
+    w_prev = W.partitionBy("doc_id").orderBy("s").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_run = W.partitionBy("doc_id").orderBy("s").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    isl = dup.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ss"), F.max("e").alias("ee")
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("ee") - F.col("ss") + 1).alias("dup_tokens"),
+        F.max(F.col("ee") - F.col("ss") + 1).alias("max_span"),
+    )
+    ntk = toks.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (
+        d.select("doc_id")
+        .join(ntk, "doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("max_span", F.lit(0)).alias("max_span"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")
+            )
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
