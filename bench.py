@@ -57,6 +57,7 @@ HEADLINE = (
     "semdedup_prune",            # k-means-cell-partitioned semantic dedup
     "cluster_aware_split",       # near-dup clusters -> leakage-safe split
     "dup_ngram_doc_stats",       # cross-doc duplicated-n-gram coverage
+    "exact_substring_spans",     # position-level dup spans (islands merge)
     "merge_upsert_customer_balance",  # MERGE upsert as pre-agg'd full-outer join
     "incremental_agg_merge",     # materialized-view partial-agg state merge
 )
