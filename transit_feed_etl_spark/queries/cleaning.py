@@ -221,9 +221,12 @@ def top_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per DISTINCT bigram per partition, not per occurrence.
     Deterministic total order: (count DESC, bigram ASC)."""
     d = table_par(spark, sf_dir, "documents")
-    bgs = TX.word_shingles(TX.tokens("text"), 2)
+    # two-step projection: tokens as an attribute BEFORE the shingle
+    # lambda — inlining tokens() into word_shingles re-tokenizes the doc
+    # per element_at call (the ~100x trap, operators/minhash.py)
+    toks = d.select(TX.tokens("text").alias("toks"))
     return (
-        d.select(F.explode(bgs).alias("bigram"))
+        toks.select(F.explode(TX.word_shingles(F.col("toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -305,7 +308,10 @@ def approx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_feed_etl_spark.operators.sketches import misra_gries_topk
 
     d = table_par(spark, sf_dir, "documents")
-    bgs = d.select(F.explode(TX.word_shingles(TX.tokens("text"), 2)).alias("bigram"))
+    # two-step projection (see top_bigrams_corpus): tokens must be an
+    # attribute before the shingle lambda references them
+    toks = d.select(TX.tokens("text").alias("toks"))
+    bgs = toks.select(F.explode(TX.word_shingles(F.col("toks"), 2)).alias("bigram"))
     return misra_gries_topk(bgs, "bigram", k=32)
 
 
