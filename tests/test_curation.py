@@ -89,3 +89,36 @@ def test_cluster_aware_split_has_zero_cross_split_clusters(spark, sf_dir):
         .count()
     )
     assert straddlers == 0
+
+
+def test_compression_ratio_matches_python_zlib_replay(spark):
+    """doc_compression_ratio has no SQL oracle (DuckDB has no zlib);
+    the value contract is an EXACT per-document replay through stdlib
+    zlib — same codec, same level — plus ordering sanity."""
+    import zlib
+
+    import duckdb
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_compression_ratio"].builder(spark, SF_DIR).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == len(docs) > 0
+    for doc_id, text in docs:
+        raw = (text or "").encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        r = rows[doc_id]
+        assert r["raw_bytes"] == len(raw)
+        assert r["deflate_bytes"] == len(comp)
+        assert r["ratio_e6"] == len(comp) * 1_000_000 // max(len(raw), 1)
+
+    # ordering sanity: pure repetition compresses far better than the
+    # corpus median
+    ratios = sorted(r["ratio_e6"] for r in rows.values())
+    median = ratios[len(ratios) // 2]
+    rep = len(zlib.compress(b"the same line over and over " * 100, 6))
+    rep_ratio = rep * 1_000_000 // (28 * 100)
+    assert rep_ratio < median

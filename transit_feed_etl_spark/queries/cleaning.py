@@ -424,3 +424,54 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register("doc_compression_ratio", oracle=None)  # zlib has no DuckDB equivalent
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DEFLATE compression ratio — the classic
+    compressibility quality signal (CCNet/Gopher lineage: highly
+    compressible text is boilerplate/repetition, incompressible text is
+    noise/binary junk; the keep-band sits in the middle). Emits raw
+    UTF-8 byte count, deflate(level=6) byte count, and the ratio scaled
+    to an integer (FLOOR(1e6 * comp/raw) — tie-free, same convention as
+    the embedding score columns).
+
+    Rows-only driver check BY NECESSITY: DuckDB has no zlib surface, so
+    no SQL oracle can state the compressed length. The value contract is
+    pinned instead by `tests/test_curation.py::
+    test_compression_ratio_matches_python_zlib_replay` — an EXACT
+    per-document replay through CPython's stdlib zlib (the same codec
+    the engine's PNG path uses) — plus ordering sanity (repetitive text
+    compresses strictly better than high-entropy text).
+
+    Scale: embarrassingly-parallel map over Arrow batches
+    (mapInPandas) — zero shuffle before the final ORDER BY; per-task
+    memory is one Arrow batch; the per-row cost is one C-speed
+    stdlib-zlib call. The 100 TB shape is identical to
+    the multimodal decode stage (operators/multimodal.py)."""
+    import pandas as pd  # local import: keep module import light
+
+    d = table_par(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            raw = texts.map(lambda t: len(t.encode("utf-8")))
+            comp = texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw.astype("int64"),
+                    "deflate_bytes": comp.astype("int64"),
+                    "ratio_e6": (comp * 1_000_000 // raw.clip(lower=1)).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        score,
+        schema="doc_id long, raw_bytes long, deflate_bytes long, ratio_e6 long",
+    ).orderBy("doc_id")
