@@ -46,6 +46,8 @@ PROBES = [
     ("dup_ngram_doc_stats", {"documents": ["doc_id"]}),
     ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
     ("sessionize_events", {"events": ["event_id"]}),
+    ("exact_substring_spans", {"documents": ["doc_id"]}),
+    ("doc_compression_ratio", {"documents": ["doc_id"]}),
 ]
 
 OFFSET = 10_000_000

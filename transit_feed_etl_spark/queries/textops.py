@@ -449,3 +449,67 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_tf_total")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+    p AS (
+      SELECT term,
+             CAST(COUNT(*) AS INT) AS df,
+             list(doc_id ORDER BY doc_id) AS postings
+      FROM tok GROUP BY term
+    )
+    SELECT term, df,
+           postings[1] AS first_doc, postings[-1] AS last_doc,
+           md5(array_to_string(list_transform(postings,
+                 d -> CAST(d AS VARCHAR)), ',')) AS postings_md5
+    FROM p
+    WHERE df BETWEEN 2 AND 50
+    ORDER BY df DESC, term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the classic search-index build
+    (term -> sorted posting list of doc ids + document frequency),
+    restricted to the useful middle band (2 <= df <= 50: hapaxes index
+    nothing, stopword-frequency terms are scanned not indexed). Posting
+    lists ship with an md5 over the comma-joined ids so the oracle
+    hash-checks CONTENTS, order included, not just shapes.
+
+    Scale: the (doc, term) relation dedups with a partial-aggregatable
+    distinct keyed on (doc_id, term); postings build in ONE groupBy(term)
+    exchange via sort_array(collect_list(...)) — sorting per group after
+    collection is deterministic at any partition count, unlike relying
+    on collect order. Giant posting lists (stopwords) never materialize
+    because the df band is enforced ON the aggregate (HAVING), and at
+    100 TB the band cap is what keeps the skewed head of the term
+    distribution out of single reducers — the standard posting-list
+    sharding escape (split hot terms by doc-range) is noted in SCALE.md
+    terms."""
+    d = table_par(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .dropDuplicates(["doc_id", "term"])
+    )
+    p = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return (
+        p.filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select(
+            "term",
+            "df",
+            F.element_at("postings", 1).alias("first_doc"),
+            F.element_at("postings", -1).alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform("postings", lambda x: x.cast("string")), ","
+                )
+            ).alias("postings_md5"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+    )
