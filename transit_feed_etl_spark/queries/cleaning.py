@@ -457,9 +457,10 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            texts = pdf["text"].fillna("")
-            raw = texts.map(lambda t: len(t.encode("utf-8")))
-            comp = texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+            # encode once per row; both lengths derive from the same bytes
+            encoded = pdf["text"].fillna("").map(lambda t: t.encode("utf-8"))
+            raw = encoded.map(len)
+            comp = encoded.map(lambda b: len(zlib.compress(b, 6)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -378,7 +378,8 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(ee - ss + 1) AS max_span
       FROM spans GROUP BY doc_id
     ),
-    ntk AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM toks)
+    ntk AS (SELECT doc_id, CAST(COALESCE(len(toks), 0) AS INT) AS n_tokens
+            FROM toks)
     SELECT d.doc_id, ntk.n_tokens,
            COALESCE(per.n_spans, 0) AS n_spans,
            COALESCE(per.dup_tokens, 0) AS dup_tokens,
@@ -453,7 +454,14 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ee") - F.col("ss") + 1).alias("dup_tokens"),
         F.max(F.col("ee") - F.col("ss") + 1).alias("max_span"),
     )
-    ntk = toks.select("doc_id", F.size("toks").alias("n_tokens"))
+    # null text -> null toks: F.size(null) is -1 (legacy) or NULL (ANSI),
+    # so guard explicitly to match the oracle's COALESCE(len(toks), 0).
+    ntk = toks.select(
+        "doc_id",
+        F.when(F.col("toks").isNotNull(), F.size("toks"))
+        .otherwise(F.lit(0))
+        .alias("n_tokens"),
+    )
     return (
         d.select("doc_id")
         .join(ntk, "doc_id")

@@ -480,27 +480,40 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks CONTENTS, order included, not just shapes.
 
     Scale: the (doc, term) relation dedups with a partial-aggregatable
-    distinct keyed on (doc_id, term); postings build in ONE groupBy(term)
-    exchange via sort_array(collect_list(...)) — sorting per group after
-    collection is deterministic at any partition count, unlike relying
-    on collect order. Giant posting lists (stopwords) never materialize
-    because the df band is enforced ON the aggregate (HAVING), and at
-    100 TB the band cap is what keeps the skewed head of the term
-    distribution out of single reducers — the standard posting-list
-    sharding escape (split hot terms by doc-range) is noted in SCALE.md
-    terms."""
+    distinct keyed on (doc_id, term); the build is TWO-PASS so giant
+    posting lists (stopwords) never materialize: pass 1 computes df with
+    an ordinary partial-aggregatable COUNT and filters to the
+    2 <= df <= 50 band; pass 2 equi-joins the (doc_id, term) relation on
+    the surviving term set and only THEN runs the
+    sort_array(collect_list(...)) aggregate — a term that survives the
+    band carries at most 50 doc ids into any aggregation buffer, so the
+    skewed head of the term distribution (df in the millions at 100 TB)
+    is dropped by a scalar count, never collected into a single reducer.
+    Sorting per group after collection keeps the result deterministic at
+    any partition count. The deduped token relation is cached across the
+    two passes (one tokenization), traded for storage; at 100 TB swap
+    the cache for recomputation or a checkpointed intermediate."""
+    from transit_feed_etl_spark.caching import persist_tracked
+
     d = table_par(spark, sf_dir, "documents")
-    tok = (
+    tok = persist_tracked(
         d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
         .dropDuplicates(["doc_id", "term"])
     )
-    p = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("int").alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    # pass 1: df band on a plain count — no lists exist yet
+    banded = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("int").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+    )
+    # pass 2: only band-surviving terms reach the list-building aggregate
+    p = (
+        tok.join(banded, "term")
+        .groupBy("term", "df")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
     )
     return (
-        p.filter((F.col("df") >= 2) & (F.col("df") <= 50))
-        .select(
+        p.select(
             "term",
             "df",
             F.element_at("postings", 1).alias("first_doc"),
