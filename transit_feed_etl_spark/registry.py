@@ -35,16 +35,25 @@ class QueryDef:
     builder: Builder
     oracle: str | None  # DuckDB SQL; None -> driver runs rows-only check
     doc: str = ""
+    # True -> engine-specific variant of a construction that is ALREADY
+    # fully value-oracled under a portable hash elsewhere; excluded from
+    # the driver's queries() so it never shows up as a permanent
+    # rows-only row. Still registered (tests + docs cover it).
+    driver_exempt: bool = False
 
 
 QUERIES: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
+def register(
+    name: str, oracle: str | None = None, driver_exempt: bool = False
+) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QueryDef(name, fn, oracle, (fn.__doc__ or "").strip())
+        QUERIES[name] = QueryDef(
+            name, fn, oracle, (fn.__doc__ or "").strip(), driver_exempt
+        )
         return fn
 
     return deco
