@@ -277,3 +277,34 @@ def test_catalog_vacuum_dry_run_lists_orphans(spark, tmp_path):
 
     orphans = cat.unreferenced_files(str(data_root))
     assert orphans and all("orphan.parquet" in p for p in orphans), orphans
+
+
+def test_catalog_consistency_checks_never_collect_catalog(spark, tmp_path):
+    """VERDICT r2 item 7: the catalog<->fs consistency checks must run
+    as distributed anti-joins — the catalog's file list must NOT be
+    collected to the driver to build the probe side. A collected probe
+    side shows up as a LocalTableScan/LocalRelation in the plan; the
+    distributed probe shows up as MapInPandas."""
+    cat = FileCatalog(spark, str(tmp_path / "catalog"))
+    good = str(tmp_path / "data" / "good.parquet")
+    df = spark.createDataFrame([(1, "v1")], ["k", "vehicle_id"]).select(
+        "k", "vehicle_id",
+        F.lit(0.0).alias("longitude"), F.lit(0.0).alias("latitude"),
+        F.current_timestamp().alias("ts"),
+    )
+    df.write.parquet(good)
+    cat.append_batch(df, batch_id=1, file_path=good)
+    cat.append_batch(df, batch_id=2, file_path=str(tmp_path / "gone.parquet"))
+
+    missing = cat.missing_files()
+    plan = missing._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "LocalRelation" not in plan and "LocalTableScan" not in plan, plan
+    rows = missing.collect()
+    assert len(rows) == 1 and rows[0]["batch_id"] == 2
+
+    # vacuum dry-run: referenced-side expansion is likewise distributed
+    orphan = str(tmp_path / "data" / "orphan.parquet")
+    df.write.parquet(orphan)
+    orphans = cat.unreferenced_files(str(tmp_path / "data"))
+    assert orphans and all("orphan.parquet" in p for p in orphans), orphans

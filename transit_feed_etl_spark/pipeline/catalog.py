@@ -149,16 +149,28 @@ class FileCatalog:
         )
         return rows[0] if rows else None
 
+    @staticmethod
+    def _existing_paths(paths: DataFrame) -> DataFrame:
+        """Distributed existence probe: each task stats ITS partition's
+        paths (shared storage — local fs here, HDFS/S3 mounts on a
+        cluster). The file list never collects to the driver, so the
+        probe scales with executors, not driver heap (VERDICT r2 item 7:
+        a minutely-file catalog is ~10^5-10^6 rows/year — fine to
+        collect today, but the anti-join form needs no such bound)."""
+
+        def probe(batches):
+            for pdf in batches:
+                yield pdf[pdf["file_path"].map(os.path.exists)]
+
+        return paths.mapInPandas(probe, schema="file_path string")
+
     def missing_files(self) -> DataFrame:
         """A20: catalog-vs-filesystem consistency as a real left-anti
         join (the reference does os.path.exists on one row,
-        gtfs_rt_assets.py:225-226)."""
+        gtfs_rt_assets.py:225-226). Fully distributed: the existence
+        probe runs executor-side (no driver collect of the catalog)."""
         cat = self.read()
-        paths = [p["file_path"] for p in cat.select("file_path").distinct().collect()]
-        existing = [(p,) for p in paths if os.path.exists(p)]
-        fs = self.spark.createDataFrame(
-            existing or [], T.StructType([T.StructField("file_path", T.StringType(), False)])
-        )
+        fs = self._existing_paths(cat.select("file_path").distinct())
         return cat.join(fs, "file_path", "left_anti")
 
     def check_not_empty(self, lookback_hours: int = 1) -> dict:
@@ -274,20 +286,47 @@ class FileCatalog:
         left by failed writes or retired by compaction. Returns the
         deletion candidates; actually deleting is the caller's decision
         (a real vacuum also applies a retention window so in-flight
-        readers of old snapshots don't lose files mid-query)."""
-        on_disk = set()
-        for root, _, files in os.walk(data_root):
-            for f in files:
-                if f.endswith(".parquet"):
-                    on_disk.add(os.path.join(root, f))
-        referenced = set()
-        for r in self.read().select("file_path").distinct().collect():
-            p = r["file_path"]
-            if os.path.isdir(p):
-                for root, _, files in os.walk(p):
-                    for f in files:
-                        if f.endswith(".parquet"):
-                            referenced.add(os.path.join(root, f))
-            else:
-                referenced.add(p)
-        return sorted(on_disk - referenced)
+        readers of old snapshots don't lose files mid-query).
+
+        The directory->file expansion of catalog entries runs
+        executor-side (mapInPandas), and the referenced set meets the
+        on-disk listing in a distributed anti-join — the full catalog is
+        never collected to the driver. Only the on-disk walk of
+        `data_root` (the glob boundary) and the FINAL orphan list (the
+        deletion candidates the caller asked for) touch the driver."""
+
+        def expand(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out: list[str] = []
+                for p in pdf["file_path"]:
+                    if os.path.isdir(p):
+                        for root, _, files in os.walk(p):
+                            out.extend(
+                                os.path.join(root, f)
+                                for f in files
+                                if f.endswith(".parquet")
+                            )
+                    else:
+                        out.append(p)
+                yield pd.DataFrame({"file_path": out})
+
+        on_disk = sorted(
+            os.path.join(root, f)
+            for root, _, files in os.walk(data_root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        disk_df = self.spark.createDataFrame(
+            [(p,) for p in on_disk],
+            T.StructType([T.StructField("file_path", T.StringType(), False)]),
+        )
+        referenced = (
+            self.read()
+            .select("file_path")
+            .distinct()
+            .mapInPandas(expand, schema="file_path string")
+        )
+        orphans = disk_df.join(referenced, "file_path", "left_anti")
+        return sorted(r["file_path"] for r in orphans.collect())
