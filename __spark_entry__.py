@@ -124,7 +124,13 @@ PRIORITY: tuple[str, ...] = (
 def _ordered_names() -> list[str]:
     green = _load_green()
     names = [n for n, q in QUERIES.items() if not q.driver_exempt]
-    pri = [n for n in PRIORITY if n in QUERIES and not QUERIES[n].driver_exempt]
+    # priority names drop out of the prefix automatically once a round
+    # records them green, so the rotation needs no per-round edit
+    pri = [
+        n
+        for n in PRIORITY
+        if n in QUERIES and not QUERIES[n].driver_exempt and n not in green
+    ]
     seen = set(pri)
     # never-sampled (or last-failed) queries next, registry order
     rest_unchecked = [n for n in names if n not in seen and n not in green]
