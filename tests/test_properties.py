@@ -432,3 +432,108 @@ def test_batch_perceptron_converges_on_separable_data(spark):
     traj = batch_perceptron(feats, n_features=3, rounds=6, lr0=1.0).collect()
     assert traj[0]["n_misclassified"] == 60  # round 1: zero weights
     assert traj[-1]["n_misclassified"] == 0, [r["n_misclassified"] for r in traj]
+
+
+# --- connected components vs pure-Python union-find -----------------------
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=20
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """operators/components.py min-label fixpoint must equal the
+    textbook union-find result (label = component minimum) for ANY edge
+    relation: self-loops, duplicate edges, multiple components, chains
+    long enough to need several propagation rounds."""
+    from transit_feed_etl_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r["node"], r["label"]) for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+# --- exact-substring spans vs pure-Python replay ---------------------------
+
+
+def _replay_spans(docs: list[list[str]], L: int = 5):
+    """Reference semantics of queries/datasetops.py::exact_substring_spans:
+    a word L-gram is duplicated when it appears in >= 2 distinct docs;
+    covered intervals [p, p+L-1] (1-based) merge when overlapping OR
+    adjacent; per-doc (n_tokens, n_spans, dup_tokens, max_span, dup_frac)."""
+    gram_docs: dict[tuple, set[int]] = {}
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - L + 1):
+            gram_docs.setdefault(tuple(toks[p : p + L]), set()).add(d)
+    out = {}
+    for d, toks in enumerate(docs):
+        ivs = sorted(
+            (p + 1, p + L)
+            for p in range(max(0, len(toks) - L + 1))
+            if len(gram_docs[tuple(toks[p : p + L])]) >= 2
+        )
+        spans: list[list[int]] = []
+        for s, e in ivs:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        n = len(toks)
+        dup = sum(e - s + 1 for s, e in spans)
+        mx = max((e - s + 1 for s, e in spans), default=0)
+        out[d] = (n, len(spans), dup, mx, 0.0 if n == 0 else dup / n)
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_exact_substring_spans_match_python_replay(spark, docs, tmp_path_factory):
+    """End-to-end semantic replay of the span-cutting dedup operator on
+    random token corpora (vocab of 2 so cross-doc 5-gram collisions are
+    common): tokenization, cross-doc gram hashing, duplicated-gram
+    filter, and the gaps-and-islands merge must all agree with the
+    pure-Python definition."""
+    from transit_feed_etl_spark.queries.datasetops import exact_substring_spans
+
+    sf_dir = str(tmp_path_factory.mktemp("spans_sf"))
+    spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = exact_substring_spans(spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_spans"],
+            r["dup_tokens"],
+            r["max_span"],
+            r["dup_frac"],
+        )
+        for r in rows
+    }
+    assert got == _replay_spans(docs)
