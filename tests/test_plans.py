@@ -692,3 +692,24 @@ def test_exact_substring_spans_hash_keyed_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for m in re.finditer(r"hashpartitioning\(([a-zA-Z_0-9#]+)", plan):
         assert m.group(1).split("#")[0] in {"gh", "doc_id"}, m.group(0)
+
+
+def test_inverted_index_band_filters_before_list_aggregate(spark):
+    """Two-pass posting-list build (ADVICE r2): the df band must be
+    decided by a plain partial-aggregatable COUNT and enforced via a
+    JOIN before any collect_list buffer exists. The old single-pass
+    plan had no join at all (band filtered AFTER the list aggregate),
+    so a join + partial_count below the list aggregate is the decisive
+    plan signature that hot terms never reach a reducer buffer."""
+    plan = _final_plan(QUERIES["inverted_index_postings"].builder(spark, SF))
+    # the two-pass signature: a JOIN feeds the list build (the old
+    # single-pass plan had no join at all)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+    # the list aggregate is keyed by (term, df) and computes ONLY
+    # collect_list — df arrived from pass 1 via the join
+    assert re.search(
+        r"keys=\[term#\d+, df#\d+\], functions=\[(partial_)?collect_list", plan
+    ), plan
+    # no aggregate mixes the df count with the list build (the old
+    # plan's functions=[partial_count(1), partial_collect_list(...)])
+    assert not re.search(r"functions=\[[^\]]*count[^\]]*collect_list", plan), plan
