@@ -48,6 +48,20 @@ PROBES = [
     ("sessionize_events", {"events": ["event_id"]}),
     ("exact_substring_spans", {"documents": ["doc_id"]}),
     ("doc_compression_ratio", {"documents": ["doc_id"]}),
+    # disjoint co-purchase graph copies per replica (custkey/suppkey
+    # offsets keep the namespaced node spaces disjoint): rounds stay
+    # constant, per-round |E| grows k-fold -> expect ~linear
+    (
+        "pagerank_copurchase",
+        {
+            "orders": ["o_orderkey", "o_custkey"],
+            "lineitem": ["l_orderkey", "l_suppkey"],
+        },
+    ),
+    # two-pass posting-list build: every term's df grows k-fold, so the
+    # 2<=df<=50 band keeps FEWER terms as k grows — the pass-1 count
+    # must absorb the k-fold token stream at ~linear cost
+    ("inverted_index_postings", {"documents": ["doc_id"]}),
 ]
 
 OFFSET = 10_000_000
@@ -93,10 +107,12 @@ def main() -> int:
         ks.append(ks[-1] * 2)
     spark = get_spark()
     # scale union of all id columns used by any probe of that table
+    # (union, not first-wins: pagerank needs lineitem key offsets even
+    # though q1 registered lineitem first with none)
     need: dict[str, list[str]] = {}
     for _, scaled in PROBES:
         for t, cols in scaled.items():
-            need.setdefault(t, cols)
+            need[t] = sorted(set(need.get(t, [])) | set(cols))
     dirs = {k: build_dir(spark, k, need) for k in ks}
     print(f"built {len(dirs)} scaled dirs: {sorted(dirs.values())}", flush=True)
 
@@ -119,6 +135,35 @@ def main() -> int:
                 "vec_id", VV.as_double("embedding").alias("v")
             )
             n = semdedup_pairs(v, n_cells=16 * k).count()
+            best = min(best, time.monotonic() - t0)
+            release_caches()
+            spark.catalog.clearCache()
+        results[name][k] = best
+        print(f"  {name} x{k}: {best:.2f}s ({n} rows)", flush=True)
+
+    # Connected components on k disjoint chain graphs (depth 8 forces
+    # several pointer-jumping rounds): rounds are O(log depth) and
+    # depth is fixed, so k-fold edges should cost ~k-fold wall — the
+    # scaling claim behind dedup_clusters / cluster_aware_split.
+    from transit_feed_etl_spark.operators.components import connected_components
+
+    name = "connected_components[chains]"
+    results[name] = {}
+    depth = 8
+    for k in ks:
+        n_chains = 4000 * k
+        edges = (
+            spark.range(n_chains)
+            .selectExpr("id AS chain", f"explode(sequence(0, {depth - 2})) AS hop")
+            .selectExpr(
+                f"chain * {depth} + hop AS id_a",
+                f"chain * {depth} + hop + 1 AS id_b",
+            )
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = connected_components(edges).count()
             best = min(best, time.monotonic() - t0)
             release_caches()
             spark.catalog.clearCache()
