@@ -537,3 +537,99 @@ def test_exact_substring_spans_match_python_replay(spark, docs, tmp_path_factory
         for r in rows
     }
     assert got == _replay_spans(docs)
+
+
+# --- binned range join vs brute force --------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    points=st.lists(st.integers(0, 5000), min_size=1, max_size=15),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 3000)), max_size=10
+    ),
+    bin_width=st.sampled_from([60, 600, 3600]),
+)
+def test_range_join_binned_matches_bruteforce(spark, points, intervals, bin_width):
+    """operators/rangejoin.py bin-explode construction must produce
+    EXACTLY the pairs of the point-in-interval predicate for any data
+    and any bin width (bins change cost, never results): intervals
+    spanning many bins, zero-length intervals, boundary-inclusive hits,
+    empty interval side."""
+    from transit_feed_etl_spark.operators.rangejoin import range_join_binned
+
+    base = 1_700_000_000
+    to_ts = lambda s: datetime.fromtimestamp(base + s, tz=timezone.utc)  # noqa: E731
+    pdf = spark.createDataFrame(
+        [(i, to_ts(s)) for i, s in enumerate(points)], "pid long, pt timestamp"
+    )
+    idf = spark.createDataFrame(
+        [(j, to_ts(s), to_ts(s + d)) for j, (s, d) in enumerate(intervals)],
+        "iid long, st timestamp, en timestamp",
+    )
+    out = range_join_binned(
+        pdf, idf, point_ts="pt", start_ts="st", end_ts="en", bin_width_s=bin_width
+    )
+    got = {(r["pid"], r["iid"]) for r in out.select("pid", "iid").collect()}
+    want = {
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (a, d) in enumerate(intervals)
+        if a <= s <= a + d
+    }
+    assert got == want
+
+
+# --- sessionization vs pure-Python replay ----------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3 * 3600)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sessionize_matches_python_replay(spark, events, tmp_path_factory):
+    """The lag-gap sessionizer must agree with the textbook definition
+    (sort per user by (ts, event_id); gap > 1800 s starts a session) for
+    any event pattern: duplicate timestamps (tie-broken by event_id),
+    single-event sessions, exact-1800s boundary gaps (same session)."""
+    from transit_feed_etl_spark.queries.windows import sessionize_events
+
+    base = 1_700_000_000
+    sf_dir = str(tmp_path_factory.mktemp("sess_sf"))
+    rows = [
+        (i, datetime.fromtimestamp(base + s, tz=timezone.utc), u)
+        for i, (u, s) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["session_start"].timestamp(),
+            r["session_end"].timestamp(),
+        )
+        for r in sessionize_events(spark, sf_dir).collect()
+    }
+
+    want = {}
+    for u in sorted({u for u, _ in events}):
+        evs = sorted(
+            (base + s, i) for i, (eu, s) in enumerate(events) if eu == u
+        )
+        sid, prev = 0, None
+        sessions: dict[int, list[int]] = {}
+        for ts, _ in evs:
+            if prev is None or ts - prev > 1800:
+                sid += 1
+                sessions[sid] = []
+            sessions[sid].append(ts)
+            prev = ts
+        for s, tss in sessions.items():
+            want[(u, s)] = (len(tss), float(min(tss)), float(max(tss)))
+    assert got == want
