@@ -633,3 +633,111 @@ def test_sessionize_matches_python_replay(spark, events, tmp_path_factory):
         for s, tss in sessions.items():
             want[(u, s)] = (len(tss), float(min(tss)), float(max(tss)))
     assert got == want
+
+
+# --- prefix-filtered exact Jaccard join vs naive ---------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    sets=st.lists(
+        st.sets(st.integers(0, 12), max_size=8), min_size=2, max_size=8
+    ),
+    threshold=st.sampled_from([0.2, 0.35, 0.5, 0.8]),
+)
+def test_prefix_filter_matches_naive_on_random_sets(spark, sets, threshold):
+    """operators/prefixfilter.py claims recall 1.0 BY CONSTRUCTION: for
+    any collection of shingle sets and any threshold, the prefix-
+    filtered join must return exactly the naive all-pairs result —
+    same pairs, same (6-decimal) Jaccard values. Covers empty sets,
+    identical sets, subset/superset pairs, threshold edge hits."""
+    from transit_feed_etl_spark.operators.prefixfilter import jaccard_prefix_pairs
+
+    rows = [(i, [f"s{x}" for x in sorted(s)]) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "_id long, _sh array<string>")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(
+            df, id_col="_id", set_col="_sh", threshold=threshold
+        ).collect()
+    }
+    want = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                want[(i, j)] = round(jac, 6)
+    assert got == want
+
+
+# --- BPE merge training vs pure-Python replay -------------------------------
+
+
+def _replay_bpe_merges(texts: list[str], rounds: int):
+    """Reference semantics of queries/bpe.py::_learn_merges: lowercase
+    \\W+ tokens -> word-frequency table (len>=2 words only) -> per round,
+    count adjacent symbol pairs weighted by word freq (overlapping
+    positions each count), argmax by (cnt DESC, a ASC, b ASC), replace
+    non-overlapping left-to-right. A pairless round emits nothing and
+    ends training (the engine's crossJoin with an empty argmax empties
+    the table)."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\W+", t.lower()):
+            if w:
+                words[w] += 1
+    enc = {w: "".join(f"|{c}|" for c in w) for w in words if len(w) >= 2}
+    merges = []
+    for k in range(rounds):
+        cnt: Counter = Counter()
+        for w, e in enc.items():
+            syms = e.strip("|").split("||")
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += words[w]
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((k + 1, a, b, a + b, c))
+        enc = {
+            w: e.replace(f"|{a}||{b}|", f"|{a}{b}|") for w, e in enc.items()
+        }
+    return merges
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_bpe_training_matches_python_replay(spark, docs, tmp_path_factory):
+    """Distributed BPE training must learn the exact same merge table as
+    the sequential textbook algorithm on any corpus — including
+    overlapping pair positions (aaa), tie-breaks, words collapsing to a
+    single symbol, and corpora that run out of pairs before the round
+    budget."""
+    from transit_feed_etl_spark.queries import bpe as B
+
+    texts = [" ".join(ws) for ws in docs]
+    sf_dir = str(tmp_path_factory.mktemp("bpe_sf"))
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["merged"], r["cnt"])
+        for r in B.bpe_merge_training(spark, sf_dir).collect()
+    ]
+    assert got == _replay_bpe_merges(texts, B._ROUNDS)
