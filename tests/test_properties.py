@@ -741,3 +741,50 @@ def test_bpe_training_matches_python_replay(spark, docs, tmp_path_factory):
         for r in B.bpe_merge_training(spark, sf_dir).collect()
     ]
     assert got == _replay_bpe_merges(texts, B._ROUNDS)
+
+
+# --- batch sessionizer vs streaming session_window twin ---------------------
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3 * 3600)),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_batch_and_streaming_sessionizers_agree(spark, events, tmp_path_factory):
+    """The lag-gap batch sessionizer and its streaming twin
+    (F.session_window, streaming/windows.py::session_windows) must
+    carve IDENTICAL sessions from any event pattern — same starts, same
+    event counts, and streaming end = batch end + gap (session_window
+    ends are exclusive last+gap by definition). Empirically pinned:
+    both merge an exactly-gap-separated pair (boundary inclusive)."""
+    from transit_feed_etl_spark.queries.windows import sessionize_events
+    from transit_feed_etl_spark.streaming.windows import session_windows
+
+    base = 1_700_000_000
+    to_ts = lambda s: datetime.fromtimestamp(base + s, tz=timezone.utc)  # noqa: E731
+    rows = [(i, to_ts(s), u, 1.0) for i, (u, s) in enumerate(events)]
+    sf_dir = str(tmp_path_factory.mktemp("sess_twin_sf"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    df.write.parquet(f"{sf_dir}/events.parquet")
+
+    batch = {
+        (r["user_id"], r["session_start"].timestamp()): (
+            r["n_events"],
+            r["session_end"].timestamp(),
+        )
+        for r in sessionize_events(spark, sf_dir).collect()
+    }
+    stream_twin = {
+        (r["user_id"], r["session_start"].timestamp()): (
+            r["n_events"],
+            r["session_end"].timestamp() - 1800.0,
+        )
+        for r in session_windows(df, gap="30 minutes").collect()
+    }
+    assert batch == stream_twin
