@@ -788,3 +788,52 @@ def test_batch_and_streaming_sessionizers_agree(spark, events, tmp_path_factory)
         for r in session_windows(df, gap="30 minutes").collect()
     }
     assert batch == stream_twin
+
+
+# --- blocked cosine kernel vs numpy direct ----------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, width=32), min_size=4, max_size=4
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([-1.0, 0.0, 0.5]),
+    n_blocks=st.sampled_from([1, 2, 3]),
+)
+def test_blocked_cosine_pairs_match_numpy(spark, vecs, threshold, n_blocks):
+    """operators/vectors.py tiling must be invisible in the results: for
+    any vectors and ANY block count, the pair set equals a direct numpy
+    all-pairs cosine (tiles change task shape, never scores), with raw
+    float64 scores agreeing to 1e-12."""
+    import numpy as np
+
+    from transit_feed_etl_spark.operators.vectors import blocked_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vid long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_raw"]
+        for r in blocked_cosine_pairs(
+            df, "vid", "embedding", min_raw_score=threshold, n_blocks=n_blocks
+        ).collect()
+    }
+    m = np.array(vecs, dtype=np.float64)
+    want = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            na, nb = np.linalg.norm(m[i]), np.linalg.norm(m[j])
+            if na == 0 or nb == 0:
+                continue  # kernel's zero-norm guard drops these
+            c = float(m[i] @ m[j] / (na * nb))
+            if c >= threshold:
+                want[(i, j)] = c
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
