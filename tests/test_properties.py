@@ -837,3 +837,58 @@ def test_blocked_cosine_pairs_match_numpy(spark, vecs, threshold, n_blocks):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+
+
+# --- gap fill / forward fill vs pure-Python replay ---------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2), st.integers(0, 30), st.integers(-5, 5)
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_gap_fill_matches_python_replay(spark, events, tmp_path_factory):
+    """Grid densification + forward fill must agree with the sequential
+    definition for any sparse event pattern: multi-event minutes sum,
+    leading grid minutes before the first observation keep NULL, gaps
+    carry the last observed sum, per-user bounds differ."""
+    from transit_feed_etl_spark.queries.time_windows import gap_fill_forward_fill
+
+    base = 1_700_000_040  # minute-aligned epoch
+    rows = [
+        (i, datetime.fromtimestamp(base + m * 60 + 7, tz=timezone.utc), u, float(v))
+        for i, (u, m, v) in enumerate(events)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("gapfill_sf"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        (r["user_id"], int((r["minute_ts"].timestamp() - base) // 60)): (
+            r["n_events"],
+            r["filled_sum"],
+        )
+        for r in gap_fill_forward_fill(spark, sf_dir).collect()
+    }
+
+    want = {}
+    for u in {u for u, _, _ in events}:
+        per: dict[int, list[int]] = {}
+        for eu, m, v in events:
+            if eu == u:
+                per.setdefault(m, []).append(v)
+        filled = None
+        for m in range(min(per), max(per) + 1):
+            if m in per:
+                filled = float(sum(per[m]))
+                n = len(per[m])
+            else:
+                n = 0
+            want[(u, m)] = (n, filled)
+    assert got == want
