@@ -713,3 +713,15 @@ def test_inverted_index_band_filters_before_list_aggregate(spark):
     # no aggregate mixes the df count with the list build (the old
     # plan's functions=[partial_count(1), partial_collect_list(...)])
     assert not re.search(r"functions=\[[^\]]*count[^\]]*collect_list", plan), plan
+
+
+def test_window_family_single_exchange_per_partitioning(spark):
+    """The window-function queries promise ONE hash exchange for all
+    window work sharing a partitioning: rank+dense_rank+row_number over
+    the same spec must not re-shuffle per function, and the trailing
+    range frame must reuse the user_id exchange it sorts within."""
+    for name in ("rank_dense_rank", "range_frame_trailing_sum"):
+        plan = _final_plan(QUERIES[name].builder(spark, SF))
+        hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(hashes) == 1, (name, hashes, plan)
+        assert "Window" in plan, name

@@ -892,3 +892,51 @@ def test_gap_fill_matches_python_replay(spark, events, tmp_path_factory):
                 n = 0
             want[(u, m)] = (n, filled)
     assert got == want
+
+
+# --- Morton code vs pure-Python bit interleave -------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-200, 200, allow_nan=False),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_morton_code_matches_python_bit_interleave(spark, pts):
+    """The unrolled Catalyst Morton expression must be BIT-EXACT with
+    the reference interleave for any coordinates, including out-of-range
+    values (clamped) and quantization-boundary floats — the z-order
+    layout and its file-pruning guarantees ride on these exact codes."""
+    import math
+
+    from transit_feed_etl_spark.pipeline.zorder import MORTON_BITS, morton_code
+
+    def py_morton(lon: float, lat: float) -> int:
+        def q(v: float, lo: float, hi: float) -> int:
+            n = (1 << MORTON_BITS) - 1
+            v = min(max(v, lo), hi)
+            return math.floor((v - lo) / (hi - lo) * n)
+
+        qx, qy = q(lon, -180.0, 180.0), q(lat, -90.0, 90.0)
+        code = 0
+        for i in range(MORTON_BITS):
+            code |= ((qx >> i) & 1) << (2 * i)
+            code |= ((qy >> i) & 1) << (2 * i + 1)
+        return code
+
+    df = spark.createDataFrame(
+        [(i, lon, lat) for i, (lon, lat) in enumerate(pts)],
+        "i long, lon double, lat double",
+    )
+    got = {
+        r["i"]: r["code"]
+        for r in df.select("i", morton_code("lon", "lat").alias("code")).collect()
+    }
+    want = {i: py_morton(lon, lat) for i, (lon, lat) in enumerate(pts)}
+    assert got == want
