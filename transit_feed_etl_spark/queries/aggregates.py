@@ -102,12 +102,24 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUPING(o_orderpriority) AS g_prio
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0  -- align empty-input domains: Spark emits NO
+                         -- rows for rollup over an empty relation; the
+                         -- SQL standard (and DuckDB) emit the () grand-
+                         -- total row. No-op on non-empty input (every
+                         -- grouping-set row aggregates >= 1 source row).
     ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 )
 def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy (status -> status+priority -> grand total) with
-    GROUPING() markers to distinguish real NULLs from subtotal rows."""
+    GROUPING() markers to distinguish real NULLs from subtotal rows.
+
+    Documented engine deviation: Spark returns ZERO rows for
+    rollup/cube/grouping-sets over an empty relation, where the SQL
+    standard's () grouping set emits one grand-total row — the oracle
+    carries a no-op-on-data HAVING so both engines agree on the whole
+    input domain (pinned by the empty-table sweep in
+    tests/test_empty_input.py)."""
     od = table(spark, sf_dir, "orders")
     return (
         od.rollup("o_orderstatus", "o_orderpriority")
@@ -138,12 +150,15 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUPING(l_linestatus) AS g_ls
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0  -- empty-input domain alignment, see
+                         -- rollup_order_stats
     ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 )
 def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE — all 2^2 grouping combinations in one shuffle (Catalyst
-    expands the grouping sets; far cheaper than 4 separate scans)."""
+    expands the grouping sets; far cheaper than 4 separate scans).
+    Empty-input deviation documented at rollup_order_stats."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -258,6 +273,8 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUPING(o_orderpriority) AS g_prio
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0  -- empty-input domain alignment, see
+                         -- rollup_order_stats
     ORDER BY g_status, g_prio,
              o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
@@ -266,7 +283,8 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube): per-status
     totals, per-priority totals, and the grand total in ONE shuffle —
     Catalyst expands the sets via a single Expand node instead of three
-    scans + union."""
+    scans + union. Empty-input deviation documented at
+    rollup_order_stats."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupingSets(
@@ -604,7 +622,7 @@ def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER () AS n
       FROM orders
     )
-    SELECT CAST(MAX(n) AS BIGINT) AS n,
+    SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*)
              AS median_price
     FROM r WHERE rnk IN ((n + 1) // 2, n // 2 + 1)
