@@ -31,7 +31,14 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
 def tokens(text: Column | str, lowercase: bool = True) -> Column:
     """Split on non-word runs, drop empties. Mirrors DuckDB
-    ``list_filter(string_split_regex(lower(text),'\\W+'), t -> t <> '')``."""
+    ``list_filter(string_split_regex(lower(text),'\\W+'), t -> t <> '')``.
+
+    Cross-engine contract verified on a Unicode corpus (accents,
+    ligatures, fullwidth forms, Cyrillic, CJK, emoji, German sharp s —
+    tests/test_unicode_parity.py). Known single-codepoint deviation:
+    U+0130 (Turkish İ) lowercases per Unicode SpecialCasing in the JVM
+    ('i' + combining dot, which then splits on the mark) but to plain
+    'i' in DuckDB — pinned by test_u0130_divergence_is_pinned."""
     c = F.col(text) if isinstance(text, str) else text
     if lowercase:
         c = F.lower(c)
