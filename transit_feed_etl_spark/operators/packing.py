@@ -45,10 +45,13 @@ def pack_documents(
     (`order_col`) — the hash that also buckets the rows — so the
     sequential fold visits rows in a reproducible order."""
     b = (F.pmod(F.col(order_col), F.lit(n_buckets))).cast("int")
+    # NULL token counts (null source text) fold as zero-token docs —
+    # without the coalesce they surface as NaN in the Arrow batch and
+    # crash int() inside the fold (found by the null-text sweep)
     prepped = docs_with_tokens.select(
         F.col(id_col).alias("doc_id"),
         b.alias("bucket"),
-        F.col(tok_col).cast("int").alias("n_tokens"),
+        F.coalesce(F.col(tok_col).cast("int"), F.lit(0)).alias("n_tokens"),
         F.col(order_col).alias("h"),
     )
 

@@ -223,7 +223,8 @@ _PACK_BUCKETS = 8
     WITH RECURSIVE d AS (
       SELECT doc_id,
              CAST(({_H60_ID_SQL}) % {_PACK_BUCKETS} AS INT) AS bucket,
-             CAST(LEN({_TOKS_SQL}) AS INT) AS n_tokens,
+             -- NULL text packs as a zero-token doc (null-text sweep)
+             CAST(COALESCE(LEN({_TOKS_SQL}), 0) AS INT) AS n_tokens,
              {_H60_ID_SQL} AS h
       FROM documents
     ),
@@ -265,9 +266,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_feed_etl_spark.operators.packing import pack_documents
 
     d = table_par(spark, sf_dir, "documents")
+    # NULL text -> NULL toks -> NULL size: pack as a zero-token doc
+    # (matches the oracle's COALESCE; the fold itself also guards)
     prepped = d.select(
         "doc_id",
-        F.size(TX.tokens("text")).alias("n_tokens"),
+        F.when(F.col("text").isNotNull(), F.size(TX.tokens("text")))
+        .otherwise(F.lit(0))
+        .alias("n_tokens"),
         _h60_id().alias("h"),
     )
     return pack_documents(

@@ -86,7 +86,11 @@ def _votes_sql(lang: str) -> str:
       FROM t
     )
     SELECT doc_id, lang AS labeled_lang,
-      CASE WHEN GREATEST(v_en, v_de, v_fr, v_es) = 0 THEN 'unknown'
+      -- NULL text -> NULL toks -> NULL votes: every comparison below is
+      -- NULL, which would fall through to ELSE 'es'; route it to
+      -- 'unknown' to match the engine (pinned by the null-text sweep)
+      CASE WHEN GREATEST(v_en, v_de, v_fr, v_es) IS NULL THEN 'unknown'
+           WHEN GREATEST(v_en, v_de, v_fr, v_es) = 0 THEN 'unknown'
            WHEN v_en = GREATEST(v_en, v_de, v_fr, v_es) THEN 'en'
            WHEN v_de = GREATEST(v_en, v_de, v_fr, v_es) THEN 'de'
            WHEN v_fr = GREATEST(v_en, v_de, v_fr, v_es) THEN 'fr'
