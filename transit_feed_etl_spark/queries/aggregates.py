@@ -466,10 +466,15 @@ def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     ),
     z AS (
+      -- zero-variance or singleton groups have no defined z-score (and
+      -- would divide by zero); NULL here, excluded by the ABS cut below
       SELECT e.event_id, e.event_type, e.value,
-             (e.value - s.mu)
-               / SQRT((s.sumsq - CAST(s.n AS DOUBLE) * s.mu * s.mu)
-                      / (CAST(s.n AS DOUBLE) - 1)) AS zscore
+             CASE WHEN s.n >= 2
+                   AND (s.sumsq - CAST(s.n AS DOUBLE) * s.mu * s.mu) > 0
+                  THEN (e.value - s.mu)
+                    / SQRT((s.sumsq - CAST(s.n AS DOUBLE) * s.mu * s.mu)
+                           / (CAST(s.n AS DOUBLE) - 1))
+             END AS zscore
       FROM events e JOIN s ON s.event_type = e.event_type
     )
     SELECT event_id, event_type, value, ROUND(zscore, 4) AS z
@@ -491,11 +496,15 @@ def outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n"),
         F.sum(dec * dec).cast("double").alias("sumsq"),
     )
-    z = (
-        F.col("value") - F.col("mu")
-    ) / F.sqrt(
-        (F.col("sumsq") - F.col("n").cast("double") * F.col("mu") * F.col("mu"))
-        / (F.col("n").cast("double") - 1)
+    # zero-variance or singleton groups have no defined z-score: guard
+    # instead of dividing by zero (ANSI ArithmeticException on an
+    # all-identical group — found by the adversarial-ties sweep); the
+    # NULL z falls out of the |z| > 3 filter on both engines
+    ssq = F.col("sumsq") - F.col("n").cast("double") * F.col("mu") * F.col("mu")
+    z = F.when(
+        (F.col("n") >= 2) & (ssq > 0),
+        (F.col("value") - F.col("mu"))
+        / F.sqrt(ssq / (F.col("n").cast("double") - 1)),
     )
     return (
         ev.join(F.broadcast(s), "event_type")
