@@ -461,7 +461,11 @@ def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS mu,
              COUNT(value) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+             -- DECIMAL(19,6): >18 digits forces DuckDB's int128 multiply
+             -- (the 18-digit path multiplies in int64 and overflows at
+             -- |value| ~ 3e3); values are identical, Spark's product is
+             -- int128-exact either way
+             CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
                AS DOUBLE) AS sumsq
       FROM events GROUP BY event_type
     ),
@@ -488,7 +492,13 @@ def outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT decimal sums (order-independent — the z-score inputs are
     bit-identical in both engines, so the |z| > 3 cut never flips on
     merge order), broadcast back onto the scan. The standard data-
-    cleaning pass before training-set statistics."""
+    cleaning pass before training-set statistics.
+
+    Cross-engine value domain: the exact-decimal SQUARE (int128 in both
+    engines after the oracle's DECIMAL(19,6) cast) bounds
+    |value| <~ 1e12 before the sum-of-squares nears 38 digits
+    (extreme-numerics sweep); beyond that, widen the decimal or accept
+    float moments."""
     ev = table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     s = ev.groupBy("event_type").agg(

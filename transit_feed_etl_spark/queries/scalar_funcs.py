@@ -66,8 +66,10 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_id,
       -- NB: %.1f is NOT portable (Java HALF_UP vs C binary rounding);
       -- pre-round and render via %s instead.
+      -- + 0.0 normalizes negative zero: ROUND(-1e-6, 1) is +0.0 in
+      -- Spark but -0.0 in DuckDB (extreme-numerics sweep)
       PRINTF('Event %s | user %d | value %s', event_type, user_id,
-             CAST(ROUND(value, 1) AS VARCHAR)) AS popup,
+             CAST(ROUND(value, 1) + 0.0 AS VARCHAR)) AS popup,
       PRINTF('%05d', event_id) AS padded_id
     FROM events
     WHERE value IS NOT NULL AND user_id < 25
@@ -77,7 +79,12 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def format_popup_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-style string formatting (A26, reference read_gtfs_rt.py:16-18
     builds 'Bus {id}<br>Route {route}<br>Speed {speed:.1f}' popups) —
-    format_string is JVM-side, no Python round-trip."""
+    format_string is JVM-side, no Python round-trip.
+
+    Cross-engine value domain: the double->string cast renders
+    |value| >= 1e7 in scientific notation on the JVM ('1.0E11') but
+    plain decimal in DuckDB ('100000000000.0') — the oracle contract
+    holds for |value| < 1e7 (extreme-numerics sweep)."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("user_id") < 25)
     )
@@ -87,7 +94,7 @@ def format_popup_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "Event %s | user %d | value %s",
             F.col("event_type"),
             F.col("user_id"),
-            F.round("value", 1).cast("string"),
+            (F.round("value", 1) + F.lit(0.0)).cast("string"),
         ).alias("popup"),
         F.format_string("%05d", "event_id").alias("padded_id"),
     ).orderBy("event_id")
@@ -174,8 +181,15 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(CEIL(value) AS BIGINT) AS v_ceil,
       ABS(value - 10.0) AS v_absdiff,
       ROUND(SQRT(ABS(value)), 6) AS v_sqrt,
-      ROUND(LN(value + 1.0), 6) AS v_log1p,
-      ROUND(POWER(value, 2.0), 6) AS v_sq,
+      -- ABS keeps the log total: Spark NULLs ln(<=0), DuckDB RAISES —
+      -- divergent edge found by the extreme-numerics sweep
+      ROUND(LN(ABS(value) + 1.0), 6) AS v_log1p,
+      -- value * value, NOT POWER(x, 2.0): pow() goes through libm
+      -- (exp/ln) whose last-ulp differs between engines; the plain
+      -- multiply is one IEEE op, bit-identical everywhere. No ROUND:
+      -- DuckDB's ROUND(x, 6) scales by 1e6 in doubles and loses ulps
+      -- past 2^53 where Spark's BigDecimal round is exact
+      value * value AS v_sq,
       CAST(TRUNC(value) AS INT) AS v_int,  -- DuckDB int-cast rounds; Spark truncates
       -- DuckDB SIGN -> TINYINT, Spark signum -> DOUBLE: align on INT
       CAST(SIGN(value - 10.0) AS INT) AS v_sign,
@@ -189,7 +203,12 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar functions (A26 ':.1f' rounding shape and beyond):
-    round/floor/ceil/abs/sqrt/ln/power/sign/greatest/least/mod."""
+    round/floor/ceil/abs/sqrt/ln/power/sign/greatest/least/mod.
+
+    Cross-engine value domain (extreme-numerics sweep,
+    tests/test_extreme_parity.py): the int cast bounds |value| < 2^31
+    on both engines; the log rides ABS so negatives stay total (Spark
+    NULLs ln(<=0) where DuckDB raises)."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("event_id") < 1000)
     )
@@ -201,8 +220,8 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(v).alias("v_ceil"),
         F.abs(v - 10.0).alias("v_absdiff"),
         F.round(F.sqrt(F.abs(v)), 6).alias("v_sqrt"),
-        F.round(F.log(v + 1.0), 6).alias("v_log1p"),
-        F.round(F.pow(v, 2.0), 6).alias("v_sq"),
+        F.round(F.log(F.abs(v) + 1.0), 6).alias("v_log1p"),
+        (v * v).alias("v_sq"),
         v.cast("int").alias("v_int"),
         F.signum(v - 10.0).cast("int").alias("v_sign"),
         F.greatest(v, F.lit(5.0)).alias("v_hi"),
@@ -235,7 +254,12 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-valued-logic and NULL-handling surface (the reference's
     whole data model is null-tolerant, SURVEY §1.1): COALESCE/NULLIF/
     IS NULL classification, NULL-propagating comparisons vs their
-    COALESCE-forced boolean forms, IFNULL string fallback."""
+    COALESCE-forced boolean forms, IFNULL string fallback.
+
+    Cross-engine value domain: the string-cast column inherits the
+    scientific-notation boundaries — the engines agree for
+    1e-3 <= |value| < 1e7 and exact zero (JVM renders 1e-6 as '1.0E-6',
+    DuckDB as '1e-06'; see also format_popup_strings)."""
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
     v = F.col("value")
     return ev.select(
