@@ -12,6 +12,16 @@ sign-projection onto 8 fixed hyperplanes (256 buckets) and searches only
 the query's bucket: candidate volume drops ~256x at the cost of recall,
 measured in tests/test_similarity.py. At 100 TB the bucket id becomes the
 shuffle/partition key, so each query touches one partition (IVF-style).
+
+Input-domain precondition (tests/test_vector_edge_parity.py): the
+embedding column must carry NONZERO-NORM vectors at the table's fixed
+dimensionality (64 in the driver testdata). A zero-norm vector has no
+defined cosine, and under ANSI the division fails FAST
+(DIVIDE_BY_ZERO) instead of silently emitting NaN neighbors — malformed
+embeddings are an upstream data-quality problem, filtered before
+retrieval (`quality_filter_verdicts` is the text-side analogue). Exact
+DUPLICATE vectors are fully supported: every ranking carries a
+(score DESC, id ASC) total order, verified under an all-ties corpus.
 """
 
 from __future__ import annotations
