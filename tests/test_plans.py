@@ -725,3 +725,18 @@ def test_window_family_single_exchange_per_partitioning(spark):
         hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
         assert len(hashes) == 1, (name, hashes, plan)
         assert "Window" in plan, name
+
+
+def test_asof_join_single_shuffle_no_join_operator(spark):
+    """operators/asof.py union-and-carry: the as-of attach runs as ONE
+    hash exchange feeding a window (carry-forward over the union), with
+    NO join operator anywhere — the range-join-free formulation that
+    keeps state in the JVM window at any scale. The only other exchange
+    is the final presentation orderBy."""
+    plan = _final_plan(
+        QUERIES["asof_join_purchase_before_view"].builder(spark, SF)
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" in plan
