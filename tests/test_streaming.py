@@ -475,3 +475,56 @@ def test_corpus_dedup_across_batches(spark, tmp_path):
     assert got == {(1, "alpha"), (3, "same-content"), (11, "brand-new")}
     # store carries one digest row per appended fresh row
     assert spark.read.parquet(store).distinct().count() == 3
+
+
+def test_watermark_boundary_event_exactly_at_watermark_is_kept(spark, tmp_path):
+    """Boundary exactness pin: after the watermark advances to W, a late
+    event with ts == W lands in a window whose END is > W, so the
+    window is NOT yet finalized and the event is KEPT; an event one
+    window earlier (window end == W) is dropped. This is the precise
+    cut users reason about when sizing lateness allowances."""
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    src = tmp_path / "wmb_src"
+    src.mkdir()
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            mode
+        ).parquet(str(src))
+
+    # batch 1: 12:30 sets max event time; watermark -> 12:20
+    write_batch([(1, t(12, 30), 1, "view", 1.0)], "overwrite")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    agg = windowed_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wmb_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wmb_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: ts == watermark (12:20) -> window [12:20, 12:25) is
+        # still open -> KEPT; ts 12:19 -> window [12:15, 12:20) whose
+        # end == watermark -> finalized -> DROPPED
+        write_batch(
+            [
+                (2, t(12, 20), 1, "click", 1.0),
+                (3, t(12, 19), 1, "click", 1.0),
+            ],
+            "append",
+        )
+        q.processAllAvailable()
+        # batch 3: advance watermark far past everything to flush
+        write_batch([(4, t(13, 30), 1, "view", 1.0)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["window_start"].hour, r["window_start"].minute, r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM wmb_out").collect()
+    }
+    assert out.get((12, 20, "click")) == 1  # exactly-at-watermark kept
+    assert (12, 15, "click") not in out  # window end == watermark: dropped
+    assert out.get((12, 30, "view")) == 1
