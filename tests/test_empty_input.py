@@ -19,17 +19,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from transit_feed_etl_spark.io import TABLES
 from transit_feed_etl_spark.queries import QUERIES
-from tests.oracle_utils import compare, run_oracle
-
-SRC = "/root/testdata/sf0.001"
+from tests.corpus_utils import ALL_TABLES, SRC, sweep_queries
 
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(tmp_path_factory) -> str:
     out = str(tmp_path_factory.mktemp("sf_empty"))
-    for t in TABLES:
+    for t in ALL_TABLES:
         schema = pq.ParquetFile(f"{SRC}/{t}.parquet").schema_arrow
         pq.write_table(
             pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
@@ -39,17 +36,5 @@ def empty_sf_dir(tmp_path_factory) -> str:
 
 
 def test_every_oracle_query_agrees_on_empty_tables(spark, empty_sf_dir):
-    failures = {}
-    for name, q in QUERIES.items():
-        if q.oracle is None:
-            continue
-        try:
-            problems = compare(
-                q.builder(spark, empty_sf_dir), run_oracle(q.oracle, empty_sf_dir)
-            )
-        except Exception as e:  # noqa: BLE001 — collect, report all at once
-            problems = [f"exception: {e!r}"[:200]]
-        if problems:
-            failures[name] = problems[:2]
-        spark.catalog.clearCache()
+    failures = sweep_queries(spark, empty_sf_dir, list(QUERIES))
     assert not failures, failures

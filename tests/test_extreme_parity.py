@@ -4,35 +4,34 @@ values near the documented cross-engine domain boundary.
 
 Probing ABOVE the domain found (and fixed/documented):
 - math_functions: LN(value + 1.0) diverged on negatives (Spark NULLs a
-  non-positive log, DuckDB raises) — the log now rides ABS;
+  non-positive log, DuckDB raises) — the log now rides ABS; POWER(x, 2)
+  drifted in the last ulp between libm implementations — now a plain
+  bit-exact multiply with no lossy ROUND;
 - double->string casts render |value| >= 1e7 as scientific notation on
-  the JVM but plain decimal in DuckDB (format_popup_strings /
-  null_semantics docstrings carry the |value| < 1e7 domain note);
-- the z-score's exact decimal(18,6) square overflows DuckDB's decimal
-  multiply near |value| ~ 1e9 (domain note on the query).
+  the JVM but plain decimal in DuckDB, and disagree again below 1e-3
+  ('1.0E-6' vs '1e-06') — domain notes on format_popup_strings /
+  null_semantics;
+- the z-score's exact decimal square overflowed DuckDB's int64 decimal
+  multiply near |value| ~ 3e3 — its oracle now casts to DECIMAL(19,6)
+  (int128);
+- ROUND(-1e-6, 1) yields +0.0 in Spark and -0.0 in DuckDB — popup
+  formatting normalizes via + 0.0.
 
-This permanent corpus stays INSIDE those documented bounds while
+This permanent corpus stays INSIDE the documented bounds while
 exercising the negative/zero/tiny classes the driver testdata lacks.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from datetime import datetime, timedelta, timezone
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
-from transit_feed_etl_spark.queries import QUERIES
-from tests.test_ties_parity import EVENT_QUERIES
-
-SRC = "/root/testdata/sf0.001"
+from tests.corpus_utils import make_sf_dir, sweep_queries
+from tests.test_ties_parity import EVENT_QUERIES, events_table
 
 # tiny values sit at 2^-9 (exact binary, >= 1e-3): below 1e-3 the
 # engines' double->string casts disagree on scientific notation
-# ('1.0E-6' vs '1e-06') — documented on null_semantics
 EXTREME_VALUES = [
     -9.9e6, 9.9e6, 0.0, -0.0, 0.001953125, -0.001953125, 123456.125,
     -54321.5, -1.0, 2.0,
@@ -41,53 +40,20 @@ EXTREME_VALUES = [
 
 @pytest.fixture(scope="module")
 def extreme_sf_dir(tmp_path_factory) -> str:
-    out = str(tmp_path_factory.mktemp("sf_extreme"))
-    n = 40
     base = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array(range(n), pa.int64()),
-                "ts": pa.array(
-                    [base + timedelta(minutes=i) for i in range(n)],
-                    pa.timestamp("us", tz=None),
-                ),
-                "user_id": pa.array([i % 4 for i in range(n)], pa.int64()),
-                "event_type": pa.array(
-                    ["view", "click", "purchase"][i % 3] for i in range(n)
-                ),
-                "value": pa.array(
-                    [EXTREME_VALUES[i % len(EXTREME_VALUES)] for i in range(n)],
-                    pa.float64(),
-                ),
-                "props": pa.array(['{"k":1}'] * n, pa.string()),
-            }
-        ),
-        os.path.join(out, "events.parquet"),
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_extreme")),
+        {
+            "events": events_table(
+                40,
+                lambda i: base + timedelta(minutes=i),
+                lambda i: EXTREME_VALUES[i % len(EXTREME_VALUES)],
+                users=4,
+            )
+        },
     )
-    for t in (
-        "region nation customer supplier part orders lineitem documents embeddings"
-    ).split():
-        shutil.copyfile(f"{SRC}/{t}.parquet", os.path.join(out, f"{t}.parquet"))
-    return out
 
 
 def test_event_queries_agree_on_extreme_values(spark, extreme_sf_dir):
-    from tests.oracle_utils import compare, run_oracle
-
-    failures = {}
-    for name in EVENT_QUERIES:
-        q = QUERIES[name]
-        if q.oracle is None:
-            continue
-        try:
-            problems = compare(
-                q.builder(spark, extreme_sf_dir),
-                run_oracle(q.oracle, extreme_sf_dir),
-            )
-        except Exception as e:  # noqa: BLE001 — collect, report all at once
-            problems = [f"exception: {e!r}"[:200]]
-        if problems:
-            failures[name] = problems[:2]
-        spark.catalog.clearCache()
+    failures = sweep_queries(spark, extreme_sf_dir, EVENT_QUERIES)
     assert not failures, failures

@@ -14,17 +14,9 @@ Found and fixed by this sweep when first run:
 
 from __future__ import annotations
 
-import os
-import shutil
-
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
-from transit_feed_etl_spark.queries import QUERIES
-from tests.oracle_utils import compare, run_oracle
-
-SRC = "/root/testdata/sf0.001"
+from tests.corpus_utils import documents_table, make_sf_dir, sweep_queries
 
 NULLISH_TEXTS = [None, "", "   ", "\t\n", "real text here", None, "a", "!!!", "word", ""]
 
@@ -72,42 +64,12 @@ SWEEP_QUERIES = (
 
 @pytest.fixture(scope="module")
 def nulltext_sf_dir(tmp_path_factory) -> str:
-    out = str(tmp_path_factory.mktemp("sf_nulltext"))
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(range(len(NULLISH_TEXTS)), pa.int64()),
-                "text": pa.array(NULLISH_TEXTS, pa.string()),
-                "lang": pa.array(["en"] * len(NULLISH_TEXTS), pa.string()),
-                "source": pa.array(["web"] * len(NULLISH_TEXTS), pa.string()),
-                "n_chars": pa.array(
-                    [len(t) if t else 0 for t in NULLISH_TEXTS], pa.int64()
-                ),
-            }
-        ),
-        os.path.join(out, "documents.parquet"),
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_nulltext")),
+        {"documents": documents_table(NULLISH_TEXTS)},
     )
-    for t in (
-        "region nation customer supplier part orders lineitem events embeddings"
-    ).split():
-        shutil.copyfile(f"{SRC}/{t}.parquet", os.path.join(out, f"{t}.parquet"))
-    return out
 
 
 def test_text_family_agrees_on_null_and_empty_text(spark, nulltext_sf_dir):
-    failures = {}
-    for name in SWEEP_QUERIES:
-        q = QUERIES[name]
-        if q.oracle is None:
-            continue
-        try:
-            problems = compare(
-                q.builder(spark, nulltext_sf_dir),
-                run_oracle(q.oracle, nulltext_sf_dir),
-            )
-        except Exception as e:  # noqa: BLE001 — collect, report all at once
-            problems = [f"exception: {e!r}"[:200]]
-        if problems:
-            failures[name] = problems[:2]
-        spark.catalog.clearCache()
+    failures = sweep_queries(spark, nulltext_sf_dir, SWEEP_QUERIES)
     assert not failures, failures

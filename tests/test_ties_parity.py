@@ -12,17 +12,12 @@ both sides now NULL the z-score for n < 2 or zero variance.
 
 from __future__ import annotations
 
-import os
-import shutil
 from datetime import datetime, timezone
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
-from transit_feed_etl_spark.queries import QUERIES
-
-SRC = "/root/testdata/sf0.001"
+from tests.corpus_utils import make_sf_dir, sweep_queries
 
 # every registered query whose builder or oracle reads `events`
 EVENT_QUERIES = (
@@ -71,48 +66,30 @@ EVENT_QUERIES = (
 )
 
 
+def events_table(
+    n: int, ts_fn, value_fn, users: int = 3, types=("view", "click", "purchase")
+) -> pa.Table:
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([ts_fn(i) for i in range(n)], pa.timestamp("us", tz=None)),
+            "user_id": pa.array([i % users for i in range(n)], pa.int64()),
+            "event_type": pa.array(types[i % len(types)] for i in range(n)),
+            "value": pa.array([value_fn(i) for i in range(n)], pa.float64()),
+            "props": pa.array(['{"k":1}'] * n, pa.string()),
+        }
+    )
+
+
 @pytest.fixture(scope="module")
 def ties_sf_dir(tmp_path_factory) -> str:
-    out = str(tmp_path_factory.mktemp("sf_ties"))
-    n = 60
     one_ts = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array(range(n), pa.int64()),
-                "ts": pa.array([one_ts] * n, pa.timestamp("us", tz=None)),
-                "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
-                "event_type": pa.array(
-                    ["view", "click", "purchase"][i % 3] for i in range(n)
-                ),
-                "value": pa.array([1.0] * n, pa.float64()),
-                "props": pa.array(['{"k":1}'] * n, pa.string()),
-            }
-        ),
-        os.path.join(out, "events.parquet"),
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_ties")),
+        {"events": events_table(60, lambda i: one_ts, lambda i: 1.0)},
     )
-    for t in (
-        "region nation customer supplier part orders lineitem documents embeddings"
-    ).split():
-        shutil.copyfile(f"{SRC}/{t}.parquet", os.path.join(out, f"{t}.parquet"))
-    return out
 
 
 def test_event_queries_agree_on_all_tied_events(spark, ties_sf_dir):
-    from tests.oracle_utils import compare, run_oracle
-
-    failures = {}
-    for name in EVENT_QUERIES:
-        q = QUERIES[name]
-        if q.oracle is None:
-            continue
-        try:
-            problems = compare(
-                q.builder(spark, ties_sf_dir), run_oracle(q.oracle, ties_sf_dir)
-            )
-        except Exception as e:  # noqa: BLE001 — collect, report all at once
-            problems = [f"exception: {e!r}"[:200]]
-        if problems:
-            failures[name] = problems[:2]
-        spark.catalog.clearCache()
+    failures = sweep_queries(spark, ties_sf_dir, EVENT_QUERIES)
     assert not failures, failures

@@ -14,17 +14,9 @@ deviation; every other class must agree exactly.
 
 from __future__ import annotations
 
-import os
-import shutil
-
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
-from transit_feed_etl_spark.queries import QUERIES
-from tests.oracle_utils import compare, run_oracle
-
-SRC = "/root/testdata/sf0.001"
+from tests.corpus_utils import documents_table, make_sf_dir, sweep_queries
 
 # Every non-ASCII class that must AGREE (U+0130 deliberately excluded —
 # see module docstring and test_u0130_divergence_is_pinned).
@@ -60,42 +52,14 @@ TEXT_QUERIES = (
 
 @pytest.fixture(scope="module")
 def unicode_sf_dir(tmp_path_factory) -> str:
-    out = str(tmp_path_factory.mktemp("sf_unicode"))
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(range(len(UNICODE_TEXTS)), pa.int64()),
-                "text": pa.array(UNICODE_TEXTS, pa.string()),
-                "lang": pa.array(["en"] * len(UNICODE_TEXTS), pa.string()),
-                "source": pa.array(["web"] * len(UNICODE_TEXTS), pa.string()),
-                "n_chars": pa.array(
-                    [len(t) for t in UNICODE_TEXTS], pa.int64()
-                ),
-            }
-        ),
-        os.path.join(out, "documents.parquet"),
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_unicode")),
+        {"documents": documents_table(UNICODE_TEXTS)},
     )
-    for t in (
-        "region nation customer supplier part orders lineitem events embeddings"
-    ).split():
-        shutil.copyfile(f"{SRC}/{t}.parquet", os.path.join(out, f"{t}.parquet"))
-    return out
 
 
 def test_text_queries_agree_on_unicode_corpus(spark, unicode_sf_dir):
-    failures = {}
-    for name in TEXT_QUERIES:
-        q = QUERIES[name]
-        try:
-            problems = compare(
-                q.builder(spark, unicode_sf_dir),
-                run_oracle(q.oracle, unicode_sf_dir),
-            )
-        except Exception as e:  # noqa: BLE001 — collect, report all at once
-            problems = [f"exception: {e!r}"[:200]]
-        if problems:
-            failures[name] = problems[:2]
-        spark.catalog.clearCache()
+    failures = sweep_queries(spark, unicode_sf_dir, TEXT_QUERIES)
     assert not failures, failures
 
 

@@ -12,17 +12,14 @@ Two classes probed when first written:
 
 from __future__ import annotations
 
-import os
 import random
-import shutil
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
 from transit_feed_etl_spark.queries import QUERIES
+from tests.corpus_utils import make_sf_dir, sweep_queries
 
-SRC = "/root/testdata/sf0.001"
 DIM = 64  # the embeddings table's fixed dimensionality
 
 SIM_QUERIES = (
@@ -49,26 +46,18 @@ SIM_QUERIES = (
 )
 
 
-def _write_embeddings(out: str, vecs: list[list[float]]) -> None:
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array(range(len(vecs)), pa.int64()),
-                "embedding": pa.array(vecs, pa.list_(pa.float32())),
-                "label": pa.array([i % 4 for i in range(len(vecs))], pa.int32()),
-            }
-        ),
-        os.path.join(out, "embeddings.parquet"),
+def embeddings_table(vecs: list[list[float]]) -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in range(len(vecs))], pa.int32()),
+        }
     )
-    for t in (
-        "region nation customer supplier part orders lineitem events documents"
-    ).split():
-        shutil.copyfile(f"{SRC}/{t}.parquet", os.path.join(out, f"{t}.parquet"))
 
 
 @pytest.fixture(scope="module")
 def ties_vec_sf_dir(tmp_path_factory) -> str:
-    out = str(tmp_path_factory.mktemp("sf_vecties"))
     rng = random.Random(7)
     base = [round(rng.uniform(-1, 1), 3) for _ in range(DIM)]
     vecs = [
@@ -77,28 +66,14 @@ def ties_vec_sf_dir(tmp_path_factory) -> str:
         else [round(rng.uniform(-1, 1), 3) for _ in range(DIM)]
         for i in range(30)
     ]
-    _write_embeddings(out, vecs)
-    return out
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_vecties")),
+        {"embeddings": embeddings_table(vecs)},
+    )
 
 
 def test_similarity_family_agrees_on_duplicate_vectors(spark, ties_vec_sf_dir):
-    from tests.oracle_utils import compare, run_oracle
-
-    failures = {}
-    for name in SIM_QUERIES:
-        q = QUERIES[name]
-        if q.oracle is None:
-            continue
-        try:
-            problems = compare(
-                q.builder(spark, ties_vec_sf_dir),
-                run_oracle(q.oracle, ties_vec_sf_dir),
-            )
-        except Exception as e:  # noqa: BLE001 — collect, report all at once
-            problems = [f"exception: {e!r}"[:200]]
-        if problems:
-            failures[name] = problems[:2]
-        spark.catalog.clearCache()
+    failures = sweep_queries(spark, ties_vec_sf_dir, SIM_QUERIES)
     assert not failures, failures
 
 
@@ -107,12 +82,10 @@ def test_zero_norm_vectors_fail_fast(spark, tmp_path):
     cosine query under ANSI (DIVIDE_BY_ZERO), not silently rank NaN
     neighbors. If this starts passing, the domain note in
     queries/similarity.py needs revisiting."""
-    out = str(tmp_path / "sf_zero")
-    os.makedirs(out)
     rng = random.Random(3)
     vecs = [[0.0] * DIM] + [
         [round(rng.uniform(-1, 1), 3) for _ in range(DIM)] for _ in range(9)
     ]
-    _write_embeddings(out, vecs)
+    out = make_sf_dir(str(tmp_path / "sf_zero"), {"embeddings": embeddings_table(vecs)})
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
         QUERIES["cosine_topk_bruteforce"].builder(spark, out).collect()
