@@ -93,3 +93,41 @@ def ties_sf_dir(tmp_path_factory) -> str:
 def test_event_queries_agree_on_all_tied_events(spark, ties_sf_dir):
     failures = sweep_queries(spark, ties_sf_dir, EVENT_QUERIES)
     assert not failures, failures
+
+
+# --- calendar-boundary corpus (ISO week/year edges, leap day) ---------------
+
+
+@pytest.fixture(scope="module")
+def calendar_sf_dir(tmp_path_factory) -> str:
+    from datetime import timedelta
+
+    stamps = []
+    for d in (
+        "2023-12-28", "2023-12-31", "2024-01-01", "2024-01-04",
+        "2024-02-28", "2024-02-29", "2024-03-01", "2024-12-30",
+        "2025-01-01", "2023-01-01",
+    ):
+        stamps.append(datetime.fromisoformat(d + "T23:30:00+00:00"))
+        stamps.append(datetime.fromisoformat(d + "T00:15:00+00:00"))
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_calendar")),
+        {
+            "events": events_table(
+                60,
+                lambda i: stamps[i % len(stamps)] + timedelta(minutes=i),
+                lambda i: 1.0 + i,
+            )
+        },
+    )
+
+
+def test_event_queries_agree_on_calendar_boundaries(spark, calendar_sf_dir):
+    """Week-of-year, year-boundary, and leap-day timestamps are the
+    classic calendar divergence zone (ISO weeks differ between engines'
+    defaults); every event query plus the calendar-function surface
+    must agree across 2023/2024/2025 boundaries and 2024-02-29."""
+    failures = sweep_queries(
+        spark, calendar_sf_dir, EVENT_QUERIES + ("calendar_functions",)
+    )
+    assert not failures, failures
