@@ -373,8 +373,12 @@ def numeric_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
     b AS (
-      SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)) AS INT), 9)
-               AS bucket,
+      -- a constant column (mx = mn) has zero width: everything is
+      -- bucket 0 instead of dividing by zero (singleton-corpus sweep)
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - mn)
+                                        / ((mx - mn) / 10.0)) AS INT), 9)
+             END AS bucket,
              o_totalprice
       FROM orders, s
     )
@@ -391,11 +395,20 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so FLOOR lands identically; no width_bucket dependency."""
     o = table(spark, sf_dir, "orders")
     s = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    # constant column (mx == mn): zero bucket width -> everything in
+    # bucket 0 instead of an ANSI divide-by-zero (singleton sweep)
     b = o.crossJoin(F.broadcast(s)).select(
-        F.least(
-            F.floor((F.col("o_totalprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10.0)).cast("int"),
-            F.lit(9),
-        ).alias("bucket"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / 10.0)
+                ).cast("int"),
+                F.lit(9),
+            )
+        )
+        .alias("bucket"),
         "o_totalprice",
     )
     return (

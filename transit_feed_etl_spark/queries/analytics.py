@@ -44,20 +44,24 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,3)")).cast("double"),
-                F.lit(0.0),
-            ).alias("sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("sum"),
         )
     )
+    # coalesce AFTER the pivot: a pivot value with no rows at all emits
+    # NULL cells that bypass any coalesce inside the aggregate, where
+    # the oracle's FILTER form counts 0 (singleton-corpus sweep)
+    zn = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    zs = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
     return piv.select(
         "o_orderpriority",
-        F.col("F_n").alias("f_n"),
-        F.col("F_sum").alias("f_sum"),
-        F.col("O_n").alias("o_n"),
-        F.col("O_sum").alias("o_sum"),
-        F.col("P_n").alias("p_n"),
-        F.col("P_sum").alias("p_sum"),
+        zn("F_n").alias("f_n"),
+        zs("F_sum").alias("f_sum"),
+        zn("O_n").alias("o_n"),
+        zs("O_sum").alias("o_sum"),
+        zn("P_n").alias("p_n"),
+        zs("P_sum").alias("p_sum"),
     ).orderBy("o_orderpriority")
 
 

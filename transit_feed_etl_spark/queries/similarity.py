@@ -1451,7 +1451,13 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sum is an order-independent DECIMAL accumulation and every
     double op is a single IEEE instruction replayed by the unrolled-SQL
     oracle; scores ship as FLOOR-scaled e6 integers (tie-free, see
-    embedding_quantization)."""
+    embedding_quantization).
+
+    Input-domain precondition (tests/test_vector_edge_parity.py): the
+    corpus needs n >= 2 vectors with nonzero variance — a single (or
+    fully constant) sample centers to the zero matrix and the power
+    iteration's normalization fails fast under ANSI (0/0), the right
+    answer for an undefined principal axis."""
     v = table_par(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double("embedding").alias("e")
     )
