@@ -131,3 +131,42 @@ def test_event_queries_agree_on_calendar_boundaries(spark, calendar_sf_dir):
         spark, calendar_sf_dir, EVENT_QUERIES + ("calendar_functions",)
     )
     assert not failures, failures
+
+
+# --- malformed-JSON props corpus --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def badjson_sf_dir(tmp_path_factory) -> str:
+    from datetime import timedelta
+
+    base = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    props = [
+        '{"k":1}', "not json at all", "", '{"k": null}', "{broken",
+        "null", "[]", "{}", '{"k": 42, "m": 7}', "   ",
+    ]
+    ev = events_table(
+        40, lambda i: base + timedelta(minutes=i), lambda i: 1.0 + i
+    )
+    cols = ev.to_pydict()
+    cols["props"] = [props[i % len(props)] for i in range(40)]
+    import pyarrow as pa
+
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_badjson")), {"events": pa.table(cols)}
+    )
+
+
+def test_json_queries_agree_on_malformed_props(spark, badjson_sf_dir):
+    """Spark's get_json_object / from_json are LENIENT on malformed
+    JSON (NULL / empty map) where DuckDB's json functions raise — the
+    oracles carry json_valid guards so both engines agree on the whole
+    props domain. (The VARIANT surface is strict on BOTH engines by
+    design — parse_json raises, json_extract raises — so it is not in
+    this lenient sweep.)"""
+    failures = sweep_queries(
+        spark,
+        badjson_sf_dir,
+        ("json_extraction", "map_entry_stats", "json_struct_roundtrip"),
+    )
+    assert not failures, failures

@@ -401,20 +401,31 @@ def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extraction",
     oracle="""
+    WITH j AS (
+      -- Spark's get_json_object is LENIENT (malformed JSON -> NULL);
+      -- DuckDB's json functions RAISE — the json_valid guard aligns
+      -- the engines on the whole input domain (bad-JSON sweep)
+      SELECT event_id,
+             CASE WHEN json_valid(props) THEN props END AS props
+      FROM events WHERE event_id < 2000
+    )
     SELECT
       event_id,
       json_extract_string(props, '$.k') AS k_str,
       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
            THEN 1 ELSE 0 END AS has_k
-    FROM events
-    WHERE event_id < 2000
+    FROM j
     ORDER BY event_id
     """,
 )
 def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the props payload column (Part B
-    array/map/json row): get_json_object is codegen'd JVM-side."""
+    array/map/json row): get_json_object is codegen'd JVM-side.
+    Malformed JSON extracts as NULL on both engines (the oracle carries
+    a json_valid guard mirroring get_json_object's leniency); a
+    non-numeric `k` fails the int cast on BOTH engines (ANSI strict
+    cast <-> DuckDB strict CAST)."""
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     k = F.get_json_object("props", "$.k")
     return ev.select(
@@ -433,9 +444,14 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- DuckDB SUM(INTEGER) -> HUGEINT, Spark sum(int) -> BIGINT: align
            CAST(SUM(val) AS BIGINT) AS sum_val
     FROM (
+      -- json_valid guard: Spark's from_json yields a NULL map for
+      -- malformed JSON (explode -> no rows); json_keys(NULL) unnests
+      -- to no rows, matching (bad-JSON sweep)
       SELECT t.prop_key,
              CAST(json_extract(e.props, '$.' || t.prop_key) AS INTEGER) AS val
-      FROM events e, unnest(json_keys(e.props)) AS t(prop_key)
+      FROM (SELECT CASE WHEN json_valid(props) THEN props END AS props
+            FROM events) e,
+           unnest(json_keys(e.props)) AS t(prop_key)
     )
     GROUP BY prop_key
     """,
