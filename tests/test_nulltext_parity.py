@@ -73,3 +73,103 @@ def nulltext_sf_dir(tmp_path_factory) -> str:
 def test_text_family_agrees_on_null_and_empty_text(spark, nulltext_sf_dir):
     failures = sweep_queries(spark, nulltext_sf_dir, SWEEP_QUERIES)
     assert not failures, failures
+
+
+# --- long-document corpus (~50 KB repetitive + ~50 KB random) ---------------
+
+
+@pytest.fixture(scope="module")
+def longdocs_sf_dir(tmp_path_factory) -> str:
+    import random
+
+    rng = random.Random(5)
+    long_rep = ("lorem ipsum dolor sit amet " * 2000).strip()
+    long_rand = " ".join(
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(2, 9)))
+        for _ in range(8000)
+    )
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_longdocs")),
+        {"documents": documents_table([long_rep, long_rand, "short doc", ""])},
+    )
+
+
+LONGDOC_QUERIES = (
+    "text_token_stats",
+    "doc_quality_scores",
+    "doc_repetition_scores",
+    "chunk_documents",
+    "top_bigrams_corpus",
+    "tfidf_top_terms",
+    "exact_substring_spans",
+    "dup_ngram_doc_stats",
+    "pack_sequences",
+    "bpe_merge_training",
+    "dedup_normalized",
+    "simhash_portable",
+    "neardup_jaccard_prefix",
+    "inverted_index_postings",
+)
+
+
+def test_text_family_agrees_on_long_documents(spark, longdocs_sf_dir):
+    """~50 KB documents (repetitive and high-entropy): the heavy text
+    operators (shingle explosion, gram hashing, chunking, BPE) must
+    stay exact — per-doc size changes cost, never results."""
+    failures = sweep_queries(spark, longdocs_sf_dir, LONGDOC_QUERIES)
+    assert not failures, failures
+
+
+# --- all-identical documents (maximal dedup density) ------------------------
+
+
+@pytest.fixture(scope="module")
+def samedocs_sf_dir(tmp_path_factory) -> str:
+    return make_sf_dir(
+        str(tmp_path_factory.mktemp("sf_samedocs")),
+        {
+            "documents": documents_table(
+                ["the same exact document text repeated here for everyone"] * 10
+            )
+        },
+    )
+
+
+SAMEDOC_QUERIES = (
+    "dedup_exact",
+    "dedup_normalized",
+    "neardup_jaccard_pairs",
+    "neardup_jaccard_prefix",
+    "minhash_lsh_candidates",
+    "simhash_portable",
+    "simhash_portable_pairs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "sorted_neighborhood_pairs",
+    "cluster_aware_split",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "inverted_index_postings",
+    "doc_unigram_logprob",
+    "top_bigrams_corpus",
+    "exact_substring_spans",
+    "dup_ngram_doc_stats",
+    "bpe_merge_training",
+    "bpe_encode_token_counts",
+    "pack_sequences",
+    "benchmark_contamination",
+    "cross_split_contamination",
+    "curation_pipeline_stats",
+    "hash_sample_documents",
+    "k_anonymity_audit",
+    "training_shard_manifest",
+)
+
+
+def test_dedup_family_agrees_on_identical_corpus(spark, samedocs_sf_dir):
+    """Every document identical — maximal dedup density: one cluster of
+    the whole corpus, df == N everywhere (idf 0, inverted-index band
+    empty), every pair a candidate. The dedup/scoring family must agree
+    exactly on this degenerate extreme."""
+    failures = sweep_queries(spark, samedocs_sf_dir, SAMEDOC_QUERIES)
+    assert not failures, failures
