@@ -52,7 +52,7 @@ RESERVED_GREEN_SLOTS = 5
 GREEN_SLOT_OFFSET = 45
 
 
-def _load_verdicts() -> dict[str, tuple[int, bool]]:
+def _load_verdicts(evidence_dir: str | None = None) -> dict[str, tuple[int, bool]]:
     """name -> (latest round with a driver row, that row was green).
 
     Green means the oracle compare fully matched (rows+hash) or the
@@ -60,13 +60,20 @@ def _load_verdicts() -> dict[str, tuple[int, bool]]:
     row that is not green — including a crash row where err is set and
     rows_match is None — counts as a regression and un-greens the
     query (ADVICE r3, __spark_entry__.py:57).
+
+    ``evidence_dir`` defaults to this file's directory; tests point it
+    at a tmp dir of synthetic CORRECTNESS files (ADVICE r4).
     """
     import json
     import pathlib
     import re
 
     verdicts: dict[str, tuple[int, bool]] = {}
-    here = pathlib.Path(__file__).resolve().parent
+    here = (
+        pathlib.Path(evidence_dir)
+        if evidence_dir is not None
+        else pathlib.Path(__file__).resolve().parent
+    )
     for f in sorted(here.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", f.name)
         rnd = int(m.group(1)) if m else 0
@@ -74,10 +81,19 @@ def _load_verdicts() -> dict[str, tuple[int, bool]]:
             rows = json.loads(f.read_text())
         except Exception:
             continue
+        if not isinstance(rows, dict):
+            # a malformed evidence file (top-level array, etc.) must not
+            # break the driver entry point (ADVICE r4)
+            continue
         for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
             ok_oracle = bool(r.get("rows_match")) and bool(r.get("hash_match"))
             ok_rows_only = r.get("err") == "no_oracle"
-            verdicts[name] = (rnd, ok_oracle or ok_rows_only)
+            # latest-ROUND wins, not latest-filename: lexicographic glob
+            # order would let CORRECTNESS_r9 overwrite r10 (ADVICE r4)
+            if name not in verdicts or rnd >= verdicts[name][0]:
+                verdicts[name] = (rnd, ok_oracle or ok_rows_only)
     return verdicts
 
 
