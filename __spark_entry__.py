@@ -166,9 +166,22 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries whose semantics changed AFTER their latest green driver row,
+# so that row no longer attests the in-tree code: treat them as
+# unchecked until a fresh row lands (they rotate out automatically the
+# round it does, like PRIORITY).  Round 5: both embedding near-dup
+# queries moved from the vacuous cosine>=0.8 cut (empty set on this
+# corpus; VERDICT r4 "What's wrong" #1) to the corpus-calibrated 0.4.
+FORCE_RECHECK: tuple[str, ...] = (
+    "embedding_neardup_pairs",
+    "embedding_dedup_clusters",
+)
+
+
 def _ordered_names() -> list[str]:
     verdicts = _load_verdicts()
     green = {n for n, (_, ok) in verdicts.items() if ok}
+    green -= set(FORCE_RECHECK)
     names = [n for n, q in QUERIES.items() if not q.driver_exempt]
     # priority names drop out of the prefix automatically once a round
     # records them green, so the rotation needs no per-round edit
