@@ -308,3 +308,33 @@ def test_catalog_consistency_checks_never_collect_catalog(spark, tmp_path):
     df.write.parquet(orphan)
     orphans = cat.unreferenced_files(str(tmp_path / "data"))
     assert orphans and all("orphan.parquet" in p for p in orphans), orphans
+
+
+def test_existence_probe_rejects_nonlocal_uris(spark, tmp_path):
+    """VERDICT r4 item 3: a catalog holding s3://... URIs must fail
+    LOUDLY — os.path.exists would silently report every file missing on
+    a cluster without local mounts, corrupting missing_files and
+    check_not_empty instead of erroring."""
+    from transit_feed_etl_spark.pipeline.catalog import _require_local
+
+    # unit surface: local paths pass through, file:// strips, others raise
+    assert _require_local("/x/y.parquet") == "/x/y.parquet"
+    assert _require_local("file:///x/y.parquet") == "/x/y.parquet"
+    for uri in ("s3://bkt/k.parquet", "hdfs://nn/k.parquet", "abfss://c@a/k"):
+        with pytest.raises(ValueError, match="non-local URI"):
+            _require_local(uri)
+
+    # end-to-end: the executor-side probe surfaces the same loud error
+    cat = FileCatalog(spark, str(tmp_path / "catalog"))
+    df = spark.range(1).select(
+        F.lit("k").alias("k"),
+        F.lit("v").alias("vehicle_id"),
+        F.lit(0.0).alias("longitude"),
+        F.lit(0.0).alias("latitude"),
+        F.current_timestamp().alias("ts"),
+    )
+    cat.append_batch(df, batch_id=1, file_path="s3://bucket/part-0.parquet")
+    with pytest.raises(Exception, match="non-local URI"):
+        cat.missing_files().collect()
+    with pytest.raises(Exception, match="non-local URI"):
+        cat.check_not_empty()
