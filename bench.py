@@ -63,25 +63,31 @@ HEADLINE = (
 )
 
 
-def _prev_bench(sf: float) -> dict[str, float]:
+def _prev_bench(sf: float) -> tuple[dict[str, float], bool]:
     """Per-query timings from the latest BENCH_r*.json anchor (driver
     artifact), for round-over-round delta reporting and the regression
-    gate. Only comparable when the anchor ran at the SAME sf — a smaller
-    dev-loop sf would trivially 'pass' (or a larger one trivially fail),
-    so anchors at a different sf are ignored."""
+    gate. Returns (timings, is_median): median-to-median when the anchor
+    recorded queries_median (rounds >= 5), else its min-of-passes
+    queries map — never median-vs-min, which would double-count noise
+    (VERDICT r4 item 4). Only comparable when the anchor ran at the SAME
+    sf — a smaller dev-loop sf would trivially 'pass' (or a larger one
+    trivially fail), so anchors at a different sf are ignored."""
     import glob
 
     paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
     if not paths:
-        return {}
+        return {}, False
     try:
         with open(paths[-1]) as f:
             parsed = json.load(f).get("parsed", {}) or {}
         if parsed.get("sf") != sf:
-            return {}
-        return parsed.get("queries", {}) or {}
+            return {}, False
+        med = parsed.get("queries_median") or {}
+        if med:
+            return med, True
+        return parsed.get("queries", {}) or {}, False
     except Exception:
-        return {}
+        return {}, False
 
 
 def main() -> None:
@@ -113,34 +119,50 @@ def main() -> None:
     # separate passes — instead of back-to-back — keeps one GC pause or
     # noisy-neighbor window (observed: multi-second stalls on an idle
     # 32-core box) from poisoning every sample of the same query.
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     for _pass in range(3):
         for name in HEADLINE:
             q = QUERIES[name]
             t0 = time.perf_counter()
             rows[name] = len(q.builder(spark, sf_dir).collect())
-            dt = time.perf_counter() - t0
-            timings[name] = min(timings.get(name, float("inf")), dt)
+            samples[name].append(time.perf_counter() - t0)
             # drop persisted intermediates (minhash signatures, shingle
             # sets) so later queries don't inherit this heap pressure
             spark.catalog.clearCache()
-    prev = _prev_bench(sf)
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
+    # dispersion: (max - min) / median — how much these single-shot
+    # timings wobble on this box; VERDICT r4 saw +-25% on identical code,
+    # so deltas below a query's own spread are noise, not regression
+    spread_pct = {
+        n: round(100.0 * (max(s) - min(s)) / sorted(s)[len(s) // 2], 1)
+        for n, s in samples.items()
+    }
+    prev, prev_is_median = _prev_bench(sf)
+    gate_now = medians if prev_is_median else timings
     for name in HEADLINE:
-        timings[name] = round(timings[name], 3)
         delta = ""
         if name in prev and prev[name] > 0:
-            delta = f" [{(timings[name] / prev[name] - 1) * 100:+.0f}% vs prev round]"
-        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows){delta}", file=sys.stderr)
+            delta = (
+                f" [{(gate_now[name] / prev[name] - 1) * 100:+.0f}% vs prev round"
+                f" ({'median' if prev_is_median else 'min'})]"
+            )
+        print(
+            f"# {name}: min {timings[name]:.3f}s median {medians[name]:.3f}s"
+            f" +-{spread_pct[name]:.0f}% ({rows[name]} rows){delta}",
+            file=sys.stderr,
+        )
 
     # Regression gate (warn mode): flag any query >1.5x slower than the
-    # latest committed BENCH_r*.json anchor. Warn-not-fail so the driver
-    # still records the JSON line; the gate verdict lands in
+    # latest committed BENCH_r*.json anchor, comparing like to like
+    # (median-to-median once an anchor carries medians). Warn-not-fail so
+    # the driver still records the JSON line; the gate verdict lands in
     # bench_stderr.txt where the round review reads it.
     regressions = {
-        name: (prev[name], timings[name])
+        name: (prev[name], gate_now[name])
         for name in HEADLINE
-        if name in prev and prev[name] > 0 and timings[name] > 1.5 * prev[name]
+        if name in prev and prev[name] > 0 and gate_now[name] > 1.5 * prev[name]
     }
     if not prev:
         print(
@@ -151,14 +173,16 @@ def main() -> None:
         for name, (p, t) in sorted(regressions.items()):
             print(
                 f"# REGRESSION-GATE FAIL {name}: {p:.3f}s -> {t:.3f}s"
-                f" ({t / p:.2f}x > 1.5x threshold)",
+                f" ({t / p:.2f}x > 1.5x threshold,"
+                f" {'median' if prev_is_median else 'min'}-to-same)",
                 file=sys.stderr,
             )
     else:
         common = sum(1 for n in HEADLINE if n in prev and prev[n] > 0)
         print(
             f"# REGRESSION-GATE PASS: 0/{common} common queries regressed"
-            " beyond 1.5x vs previous round",
+            f" beyond 1.5x vs previous round"
+            f" ({'median' if prev_is_median else 'min'}-to-same)",
             file=sys.stderr,
         )
 
@@ -167,6 +191,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_spread_pct": spread_pct,
+        "value_median": round(sum(medians.values()), 3),
+        "passes": 3,
         "sf": sf,
     }
     print(json.dumps(out))

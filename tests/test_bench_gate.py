@@ -13,11 +13,38 @@ import bench
 
 
 def test_prev_bench_matches_only_same_sf():
-    anchored = bench._prev_bench(0.1)
+    anchored, is_median = bench._prev_bench(0.1)
     assert anchored, "committed BENCH_r*.json anchor at sf0.1 must load"
     assert all(isinstance(v, (int, float)) for v in anchored.values())
-    assert bench._prev_bench(0.001) == {}
-    assert bench._prev_bench(1.0) == {}
+    assert isinstance(is_median, bool)
+    assert bench._prev_bench(0.001) == ({}, False)
+    assert bench._prev_bench(1.0) == ({}, False)
+
+
+def test_prev_bench_prefers_median_anchor(tmp_path, monkeypatch):
+    """Once an anchor carries queries_median (round >= 5), the gate must
+    compare median-to-median — never median-vs-min, which double-counts
+    noise."""
+    import json
+
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps(
+            {
+                "parsed": {
+                    "sf": 0.1,
+                    "queries": {"q": 1.0},
+                    "queries_median": {"q": 1.2},
+                }
+            }
+        )
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._prev_bench(0.1) == ({"q": 1.2}, True)
+    # min-only anchor (rounds 1-4) falls back to min-to-min
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 1.0}}})
+    )
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
 
 
 def test_headline_queries_all_registered():
