@@ -167,21 +167,33 @@ PRIORITY: tuple[str, ...] = (
 
 
 # Queries whose semantics changed AFTER their latest green driver row,
-# so that row no longer attests the in-tree code: treat them as
-# unchecked until a fresh row lands (they rotate out automatically the
-# round it does, like PRIORITY).  Round 5: both embedding near-dup
-# queries moved from the vacuous cosine>=0.8 cut (empty set on this
-# corpus; VERDICT r4 "What's wrong" #1) to the corpus-calibrated 0.4.
-FORCE_RECHECK: tuple[str, ...] = (
-    "embedding_neardup_pairs",
-    "embedding_dedup_clusters",
-)
+# so that row no longer attests the in-tree code: name -> the first
+# round whose green row counts.  A query is treated as unchecked while
+# its latest green row predates that round, and clears AUTOMATICALLY
+# once a fresh row lands — no per-round edit, no permanently clogged
+# window slot.  Round 5: both embedding near-dup queries moved from the
+# vacuous cosine>=0.8 cut (empty set on this corpus; VERDICT r4 "What's
+# wrong" #1) to corpus-calibrated thresholds.
+FORCE_RECHECK: dict[str, int] = {
+    "embedding_neardup_pairs": 5,
+    "embedding_dedup_clusters": 5,
+}
+
+
+def _effective_green(verdicts: dict[str, tuple[int, bool]]) -> set[str]:
+    """Latest-row-green names, minus FORCE_RECHECK names whose green row
+    predates the semantics change (those need a fresh attesting row)."""
+    green = {n for n, (_, ok) in verdicts.items() if ok}
+    return green - {
+        n
+        for n, min_round in FORCE_RECHECK.items()
+        if verdicts.get(n, (0, False))[0] < min_round
+    }
 
 
 def _ordered_names() -> list[str]:
     verdicts = _load_verdicts()
-    green = {n for n, (_, ok) in verdicts.items() if ok}
-    green -= set(FORCE_RECHECK)
+    green = _effective_green(verdicts)
     names = [n for n, q in QUERIES.items() if not q.driver_exempt]
     # priority names drop out of the prefix automatically once a round
     # records them green, so the rotation needs no per-round edit

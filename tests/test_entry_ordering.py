@@ -127,6 +127,22 @@ def test_malformed_evidence_files_are_skipped(tmp_path):
     assert E._load_verdicts(str(tmp_path)) == {"good": (2, True)}
 
 
+def test_force_recheck_self_clears_on_fresh_green():
+    """A FORCE_RECHECK name is unchecked while its latest green row
+    predates the semantics-change round, and clears AUTOMATICALLY once
+    a fresh green row lands — no per-round edit, no permanently clogged
+    window slot."""
+    name = "embedding_neardup_pairs"
+    assert E.FORCE_RECHECK[name] == 5
+    stale = {name: (3, True)}  # r3 green predates the r5 change
+    assert name not in E._effective_green(stale)
+    fresh = {name: (5, True)}  # the r5 row attests the new semantics
+    assert name in E._effective_green(fresh)
+    red = {name: (6, False)}  # a later RED row must never read as green
+    assert name not in E._effective_green(red)
+    assert name not in E._effective_green({})  # no row at all -> unchecked
+
+
 def test_rows_only_no_oracle_counts_green(tmp_path):
     _write_evidence(
         tmp_path,
@@ -173,7 +189,7 @@ def test_round5_window_composition():
     ~round 7 every green query has a second confirming row.  The test
     self-disables once new evidence lands (n_unchecked changes)."""
     verdicts = E._load_verdicts()
-    green = {n for n, (_, ok) in verdicts.items() if ok} - set(E.FORCE_RECHECK)
+    green = E._effective_green(verdicts)
     names = list(E.queries())
     unchecked = [n for n in names if n not in green]
     if len(unchecked) != 20:  # evidence moved on; ordering tests above still bind
