@@ -98,8 +98,11 @@ def _load_verdicts(evidence_dir: str | None = None) -> dict[str, tuple[int, bool
 
 
 def _load_green() -> set[str]:
-    """Names whose LATEST driver row is green (see _load_verdicts)."""
-    return {n for n, (_, ok) in _load_verdicts().items() if ok}
+    """Names whose latest driver row is green AND still attests the
+    in-tree code (FORCE_RECHECK names with stale rows excluded) — the
+    same notion of green the ordering uses, so tests and ordering can
+    never diverge (round-5 review finding)."""
+    return _effective_green(_load_verdicts())
 
 
 # Round-4 priority prefix: every family that still lacks a driver

@@ -74,20 +74,30 @@ def _prev_bench(sf: float) -> tuple[dict[str, float], bool]:
     trivially fail), so anchors at a different sf are ignored."""
     import glob
 
-    paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
-    if not paths:
-        return {}, False
-    try:
-        with open(paths[-1]) as f:
-            parsed = json.load(f).get("parsed", {}) or {}
+    # newest anchor by PARSED round number, not filename: lexicographic
+    # sort would put BENCH_r9.json after BENCH_r10.json (same defect
+    # class as the __spark_entry__ verdict loader). A malformed newest
+    # anchor falls back to the next-newest instead of silently
+    # disabling the gate.
+    paths = glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))
+    by_round = sorted(
+        paths,
+        key=lambda p: int(m.group(1)) if (m := re.search(r"r(\d+)", os.path.basename(p))) else -1,
+        reverse=True,
+    )
+    for path in by_round:
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed", {}) or {}
+        except Exception:
+            continue  # malformed anchor: try the previous round's
         if parsed.get("sf") != sf:
-            return {}, False
+            return {}, False  # latest readable anchor ran at another sf
         med = parsed.get("queries_median") or {}
         if med:
             return med, True
         return parsed.get("queries", {}) or {}, False
-    except Exception:
-        return {}, False
+    return {}, False
 
 
 def main() -> None:

@@ -47,6 +47,25 @@ def test_prev_bench_prefers_median_anchor(tmp_path, monkeypatch):
     assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
 
 
+def test_prev_bench_anchor_by_parsed_round(tmp_path, monkeypatch):
+    """The anchor is the highest PARSED round, not the lexicographically
+    last filename (unpadded BENCH_r9.json would otherwise shadow
+    BENCH_r10.json from round 10 on); a malformed newest anchor falls
+    back to the previous round instead of silently disabling the gate."""
+    import json
+
+    (tmp_path / "BENCH_r9.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 9.0}}})
+    )
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 10.0}}})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._prev_bench(0.1) == ({"q": 10.0}, False)
+    (tmp_path / "BENCH_r11.json").write_text("{not json")
+    assert bench._prev_bench(0.1) == ({"q": 10.0}, False)
+
+
 def test_headline_queries_all_registered():
     from transit_feed_etl_spark.queries import QUERIES
 

@@ -40,18 +40,26 @@ def test_no_cache_growth_across_repeated_queries(spark):
 
 def test_cache_released_across_different_queries(spark):
     """A driver-style loop over DIFFERENT cache-using queries stays
-    bounded at one query's caches outstanding."""
-    release_caches()
+    bounded at one query's caches outstanding: after each build+action,
+    _TRACKED holds exactly what that query tracks when run SOLO — never
+    the previous queries' leftovers on top."""
     names = ["inverted_index_postings", "minhash_lsh_candidates", "dedup_clusters"]
-    high_water = 0
+    # solo baseline: how many caches each query tracks in isolation
+    solo: dict[str, int] = {}
+    for name in names:
+        release_caches()
+        QUERIES[name].builder(spark, SF).collect()
+        solo[name] = len(_TRACKED)
+    release_caches()
+    assert any(v > 0 for v in solo.values())  # the bound is non-trivial
+
+    # driver-style loop with NO manual releases between queries
     for name in names:
         QUERIES[name].builder(spark, SF).collect()
-        high_water = max(high_water, len(_TRACKED))
-        # the registry never holds more than this one query's caches
-        assert len(_TRACKED) <= high_water
-    # after the loop, only the LAST query's caches remain tracked
-    last_only = len(_TRACKED)
+        assert len(_TRACKED) == solo[name], (
+            f"after {name}: tracked {len(_TRACKED)} != solo {solo[name]} — "
+            "previous queries' caches leaked past the build-entry release"
+        )
     QUERIES["grand_total"].builder(spark, SF).collect()  # non-caching query
     assert len(_TRACKED) == 0  # its build released the leftovers
-    assert last_only >= 0
     release_caches()

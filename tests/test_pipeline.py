@@ -320,6 +320,13 @@ def test_existence_probe_rejects_nonlocal_uris(spark, tmp_path):
     # unit surface: local paths pass through, file:// strips, others raise
     assert _require_local("/x/y.parquet") == "/x/y.parquet"
     assert _require_local("file:///x/y.parquet") == "/x/y.parquet"
+    # RFC-8089 authority forms: local hosts resolve, remote hosts raise
+    # (stripping the host would yield a cwd-relative path — the silent-
+    # missing corruption this guard exists to prevent)
+    assert _require_local("file://localhost/x/y.parquet") == "/x/y.parquet"
+    assert _require_local("file://127.0.0.1/x/y.parquet") == "/x/y.parquet"
+    with pytest.raises(ValueError, match="authority"):
+        _require_local("file://nfs-host/x/y.parquet")
     for uri in ("s3://bkt/k.parquet", "hdfs://nn/k.parquet", "abfss://c@a/k"):
         with pytest.raises(ValueError, match="non-local URI"):
             _require_local(uri)

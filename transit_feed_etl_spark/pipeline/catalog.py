@@ -44,7 +44,20 @@ def _require_local(path: str) -> str:
         return path
     scheme = m.group(1).lower()
     if scheme == "file":
-        return path[len(m.group(0)) :] or "/"
+        rest = path[len(m.group(0)) :]
+        if rest.startswith("/"):  # file:///abs/path — empty authority
+            return rest
+        # file://<host>/path carries an authority component; silently
+        # dropping it would yield a cwd-relative path and recreate the
+        # exact silent-missing corruption this guard exists to prevent.
+        host, _, tail = rest.partition("/")
+        if host in ("localhost", "127.0.0.1"):
+            return "/" + tail
+        raise ValueError(
+            f"catalog existence probe got a file:// URI with a non-local "
+            f"authority ({path!r}): os.path cannot stat files on "
+            f"{host!r}. Use file:///... or a plain path."
+        )
     raise ValueError(
         f"catalog existence probe got a non-local URI ({path!r}): os.path "
         f"cannot stat {scheme}:// paths, and treating them as missing would "
