@@ -36,7 +36,16 @@ from tests.oracle_utils import compare, run_oracle  # noqa: E402
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_spark(app_name="parity_sweep")
+    # SPARK_GRAFT_SHUFFLE overrides shuffle partitions independently of
+    # core count: running the registry at e.g. 128 partitions on 32
+    # cores proves partition-count independence ABOVE the driver width
+    # (a value that survives 8, 32, and 128 partitions has no
+    # partition-order dependence left to find).
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    spark = get_spark(
+        app_name="parity_sweep",
+        shuffle_partitions=int(shuffle) if shuffle else None,
+    )
     checked = 0
     failed: dict[str, list[str]] = {}
     t_start = time.monotonic()
@@ -61,6 +70,7 @@ def main() -> int:
             {
                 "sf_dir": sf_dir,
                 "cores": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
                 "checked": checked,
                 "failed": sorted(failed),
                 "wall_sec": wall,
