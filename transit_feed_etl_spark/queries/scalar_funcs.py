@@ -595,7 +595,9 @@ def calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (SELECT doc_id, list_sort(list_distinct(toks)) AS u FROM t)
     SELECT doc_id,
-           list_sort(list_intersect(u, ['the','a','and','of','key','row'])) AS common,
+           array_to_string(
+             list_sort(list_intersect(u, ['the','a','and','of','key','row'])), ','
+           ) AS common,
            CAST(LEN(list_filter(u,
              x -> NOT list_contains(['the','a','and','of','key','row'], x)))
              AS INT) AS n_rest,
@@ -607,7 +609,12 @@ def array_setops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set operations (intersect / except-count / distinct) between
     each document's token set and a fixed vocabulary — all higher-order
     JVM expressions in the scan stage; arrays sorted so set results are
-    order-deterministic across engines."""
+    order-deterministic across engines.  The intersect result is emitted
+    as a comma-joined STRING, not a raw array column: the driver's
+    pandas canonicalizer hashes cell values and crashes on unhashable
+    list cells (CORRECTNESS_r05 `TypeError: unhashable type: 'list'`),
+    so driver-eligible queries emit only scalar-hashable columns — the
+    registry contract now pins this (tests/test_entry_ordering.py)."""
     from transit_feed_etl_spark.operators import textfns as TX
 
     vocab = F.array(*[F.lit(x) for x in ("the", "a", "and", "of", "key", "row")])
@@ -616,7 +623,9 @@ def array_setops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.select("doc_id", u.alias("u"))
     return d.select(
         "doc_id",
-        F.array_sort(F.array_intersect("u", vocab)).alias("common"),
+        F.array_join(F.array_sort(F.array_intersect("u", vocab)), ",").alias(
+            "common"
+        ),
         F.size(F.array_except("u", vocab)).alias("n_rest"),
         F.size("u").alias("n_uniq"),
     ).orderBy("doc_id")
