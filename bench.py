@@ -63,22 +63,48 @@ HEADLINE = (
 )
 
 
+def _sidecar_medians(anchor: dict, sf: float) -> dict[str, float]:
+    """Medians from the committed bench_detail.json sidecar, ONLY when it
+    provably describes the same run as the anchor: same sf AND an
+    identical per-query min map (the min map is in both artifacts, so
+    equality ties the sidecar to the anchor's exact run — a stale
+    dev-loop sidecar can never be mistaken for round evidence)."""
+    path = os.path.join(os.path.dirname(__file__) or ".", "bench_detail.json")
+    try:
+        with open(path) as f:
+            detail = json.load(f)
+    except Exception:
+        return {}
+    if (
+        isinstance(detail, dict)
+        and detail.get("sf") == sf
+        and detail.get("queries") == anchor.get("queries")
+    ):
+        return detail.get("queries_median") or {}
+    return {}
+
+
 def _prev_bench(sf: float) -> tuple[dict[str, float], bool]:
-    """Per-query timings from the latest BENCH_r*.json anchor (driver
-    artifact), for round-over-round delta reporting and the regression
-    gate. Returns (timings, is_median): median-to-median when the anchor
-    recorded queries_median (rounds >= 5), else its min-of-passes
-    queries map — never median-vs-min, which would double-count noise
-    (VERDICT r4 item 4). Only comparable when the anchor ran at the SAME
-    sf — a smaller dev-loop sf would trivially 'pass' (or a larger one
-    trivially fail), so anchors at a different sf are ignored."""
+    """Per-query timings from the newest USABLE BENCH_r*.json anchor
+    (driver artifact), for round-over-round delta reporting and the
+    regression gate. Returns (timings, is_median): median-to-median when
+    the anchor recorded queries_median or the bench_detail.json sidecar
+    provably belongs to it, else its min-of-passes queries map — never
+    median-vs-min, which would double-count noise (VERDICT r4 item 4).
+    Only comparable at the SAME sf — a smaller dev-loop sf would
+    trivially 'pass' (or a larger one trivially fail) — so sf-mismatched
+    anchors are skipped WITH a warning rather than disabling the gate
+    (ADVICE r5), and so are anchors whose parsed payload is null/empty
+    (VERDICT r5 item 3: BENCH_r05.json shipped `parsed: null` after the
+    stdout line outgrew the driver's tail capture, and the old
+    early-return left the gate anchorless)."""
     import glob
 
     # newest anchor by PARSED round number, not filename: lexicographic
     # sort would put BENCH_r9.json after BENCH_r10.json (same defect
-    # class as the __spark_entry__ verdict loader). A malformed newest
-    # anchor falls back to the next-newest instead of silently
-    # disabling the gate.
+    # class as the __spark_entry__ verdict loader). A malformed or
+    # null-parsed newest anchor falls back to the next-newest instead of
+    # silently disabling the gate.
     paths = glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))
     by_round = sorted(
         paths,
@@ -88,12 +114,19 @@ def _prev_bench(sf: float) -> tuple[dict[str, float], bool]:
     for path in by_round:
         try:
             with open(path) as f:
-                parsed = json.load(f).get("parsed", {}) or {}
+                parsed = json.load(f).get("parsed")
         except Exception:
-            continue  # malformed anchor: try the previous round's
+            continue  # unreadable anchor: try the previous round's
+        if not isinstance(parsed, dict) or not parsed:
+            continue  # parsed: null / {} — truncated capture, not evidence
         if parsed.get("sf") != sf:
-            return {}, False  # latest readable anchor ran at another sf
-        med = parsed.get("queries_median") or {}
+            print(
+                f"# REGRESSION-GATE NOTE: skipping {os.path.basename(path)}"
+                f" (sf={parsed.get('sf')} != {sf})",
+                file=sys.stderr,
+            )
+            continue
+        med = parsed.get("queries_median") or _sidecar_medians(parsed, sf)
         if med:
             return med, True
         return parsed.get("queries", {}) or {}, False
@@ -196,18 +229,45 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    out, detail = _artifacts(timings, medians, spread_pct, sf, passes=3)
+    with open(
+        os.path.join(os.path.dirname(__file__) or ".", "bench_detail.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(out))
+
+
+def _artifacts(
+    timings: dict[str, float],
+    medians: dict[str, float],
+    spread_pct: dict[str, float],
+    sf: float,
+    passes: int,
+) -> tuple[dict, dict]:
+    """Split the results into (compact stdout line, full sidecar).
+
+    The driver captures only the TAIL of stdout (~2000 chars observed):
+    round 5's three 39-entry dicts pushed the line to ~4.5k chars and
+    the round's BENCH artifact landed with `parsed: null` (VERDICT r5
+    Missing #1). The stdout line therefore carries exactly the driver
+    contract (metric/value/unit/queries/sf) plus two scalars; medians
+    and dispersion go to bench_detail.json, which _prev_bench promotes
+    to the median gate when it provably matches the committed anchor."""
     out = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_median": medians,
-        "queries_spread_pct": spread_pct,
         "value_median": round(sum(medians.values()), 3),
-        "passes": 3,
+        "passes": passes,
         "sf": sf,
     }
-    print(json.dumps(out))
+    detail = {
+        **out,
+        "queries_median": medians,
+        "queries_spread_pct": spread_pct,
+    }
+    return out, detail
 
 
 if __name__ == "__main__":

@@ -66,6 +66,85 @@ def test_prev_bench_anchor_by_parsed_round(tmp_path, monkeypatch):
     assert bench._prev_bench(0.1) == ({"q": 10.0}, False)
 
 
+def test_prev_bench_skips_null_parsed_anchor(tmp_path, monkeypatch):
+    """A newest anchor whose driver capture truncated (`parsed: null`,
+    the shipped state of BENCH_r05.json) must fall back to the
+    next-newest parsed anchor instead of disabling the gate (VERDICT r5
+    item 3)."""
+    import json
+
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 4.0}}})
+    )
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps({"parsed": None}))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+    # empty-dict parsed is equally non-evidence
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps({"parsed": {}}))
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+
+
+def test_prev_bench_scans_past_sf_mismatched_anchor(tmp_path, monkeypatch):
+    """One committed dev-loop anchor at another sf must not disable the
+    gate — older same-sf anchors are still evidence (ADVICE r5,
+    bench.py:95)."""
+    import json
+
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 4.0}}})
+    )
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"parsed": {"sf": 0.01, "queries": {"q": 0.4}}})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+    # and a request at the dev sf finds the dev anchor
+    assert bench._prev_bench(0.01) == ({"q": 0.4}, False)
+
+
+def test_prev_bench_promotes_sidecar_medians_only_on_exact_match(
+    tmp_path, monkeypatch
+):
+    """bench_detail.json upgrades a min-only anchor to the median gate
+    ONLY when its sf and per-query min map equal the anchor's — a stale
+    dev-loop sidecar must never masquerade as round evidence."""
+    import json
+
+    anchor = {"sf": 0.1, "queries": {"q": 1.0}}
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps({"parsed": anchor}))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    # no sidecar -> min gate
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+    # matching sidecar -> median gate
+    (tmp_path / "bench_detail.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 1.0}, "queries_median": {"q": 1.3}})
+    )
+    assert bench._prev_bench(0.1) == ({"q": 1.3}, True)
+    # sidecar from a DIFFERENT run (min map differs) -> back to min gate
+    (tmp_path / "bench_detail.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 9.9}, "queries_median": {"q": 1.3}})
+    )
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+    # corrupt sidecar is ignored, not fatal
+    (tmp_path / "bench_detail.json").write_text("{nope")
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+
+
+def test_stdout_line_fits_driver_capture():
+    """The driver keeps only ~2000 chars of stdout tail; the final JSON
+    line must stay comfortably inside it at the full 39-query headline
+    width (round 5 shipped a 4.5k-char line and the round's BENCH
+    artifact was unusable)."""
+    import json
+
+    t = {n: 123.456 for n in bench.HEADLINE}
+    out, detail = bench._artifacts(t, t, {n: 99.9 for n in t}, 0.1, passes=3)
+    line = json.dumps(out)
+    assert len(line) < 1600, len(line)
+    assert out["queries"] == t and "queries_median" not in out
+    assert detail["queries_median"] == t and detail["queries_spread_pct"]
+
+
 def test_headline_queries_all_registered():
     from transit_feed_etl_spark.queries import QUERIES
 
