@@ -52,14 +52,21 @@ RESERVED_GREEN_SLOTS = 5
 GREEN_SLOT_OFFSET = 45
 
 
-def _load_verdicts(evidence_dir: str | None = None) -> dict[str, tuple[int, bool]]:
-    """name -> (latest round with a driver row, that row was green).
+def _load_verdicts(
+    evidence_dir: str | None = None,
+) -> dict[str, tuple[int, bool, bool]]:
+    """name -> (latest round with a driver row, that row was green,
+    that row was a FULL oracle match).
 
     Green means the oracle compare fully matched (rows+hash) or the
     entry is rows-only by design (err == 'no_oracle').  Any later-round
     row that is not green — including a crash row where err is set and
     rows_match is None — counts as a regression and un-greens the
-    query (ADVICE r3, __spark_entry__.py:57).
+    query (ADVICE r3, __spark_entry__.py:57).  The third element
+    distinguishes a full oracle match from the rows-only fallback:
+    FORCE_RECHECK re-attestation requires the former (ADVICE r5 —
+    a semantics-changed query must not count as re-attested by a row
+    that never compared values).
 
     ``evidence_dir`` defaults to this file's directory; tests point it
     at a tmp dir of synthetic CORRECTNESS files (ADVICE r4).
@@ -67,8 +74,10 @@ def _load_verdicts(evidence_dir: str | None = None) -> dict[str, tuple[int, bool
     import json
     import pathlib
     import re
+    import sys
 
-    verdicts: dict[str, tuple[int, bool]] = {}
+    verdicts: dict[str, tuple[int, bool, bool]] = {}
+    seen_rounds: dict[int, str] = {}
     here = (
         pathlib.Path(evidence_dir)
         if evidence_dir is not None
@@ -77,6 +86,18 @@ def _load_verdicts(evidence_dir: str | None = None) -> dict[str, tuple[int, bool
     for f in sorted(here.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", f.name)
         rnd = int(m.group(1)) if m else 0
+        if rnd in seen_rounds:
+            # Two files parse to the same round (r05 vs r5): sorted
+            # filename order decides deterministically, but that tie is
+            # arbitrary evidence-wise — say so instead of picking
+            # silently (ADVICE r5).  Never raise: a stray file must not
+            # cost the round its driver entry point.
+            print(
+                f"# WARNING: duplicate CORRECTNESS round {rnd}: {f.name} "
+                f"and {seen_rounds[rnd]} — filename order decides",
+                file=sys.stderr,
+            )
+        seen_rounds.setdefault(rnd, f.name)
         try:
             rows = json.loads(f.read_text())
         except Exception:
@@ -93,7 +114,7 @@ def _load_verdicts(evidence_dir: str | None = None) -> dict[str, tuple[int, bool
             # latest-ROUND wins, not latest-filename: lexicographic glob
             # order would let CORRECTNESS_r9 overwrite r10 (ADVICE r4)
             if name not in verdicts or rnd >= verdicts[name][0]:
-                verdicts[name] = (rnd, ok_oracle or ok_rows_only)
+                verdicts[name] = (rnd, ok_oracle or ok_rows_only, ok_oracle)
     return verdicts
 
 
@@ -183,14 +204,21 @@ FORCE_RECHECK: dict[str, int] = {
 }
 
 
-def _effective_green(verdicts: dict[str, tuple[int, bool]]) -> set[str]:
+def _effective_green(
+    verdicts: dict[str, tuple[int, bool] | tuple[int, bool, bool]],
+) -> set[str]:
     """Latest-row-green names, minus FORCE_RECHECK names whose green row
-    predates the semantics change (those need a fresh attesting row)."""
-    green = {n for n, (_, ok) in verdicts.items() if ok}
+    predates the semantics change or never compared values (those need
+    a fresh FULL-oracle attesting row — a rows-only err=='no_oracle'
+    row cannot re-attest changed semantics, ADVICE r5).  Accepts legacy
+    2-tuples (round, green) for callers without the oracle bit; those
+    treat green as oracle-attested, preserving prior behavior."""
+    green = {n for n, v in verdicts.items() if v[1]}
     return green - {
         n
         for n, min_round in FORCE_RECHECK.items()
-        if verdicts.get(n, (0, False))[0] < min_round
+        if (v := verdicts.get(n, (0, False)))[0] < min_round
+        or not (v[2] if len(v) > 2 else v[1])
     }
 
 

@@ -41,7 +41,7 @@ def test_ordering_contract():
     back.  Collapses to plain unchecked-then-green when the unchecked
     set no longer overflows the window."""
     verdicts = E._load_verdicts()
-    green = {n for n, (_, ok) in verdicts.items() if ok}
+    green = {n for n, v in verdicts.items() if v[1]}
     names = list(E.queries())
     n_unchecked = sum(1 for n in names if n not in green)
 
@@ -70,7 +70,7 @@ def test_green_tail_is_oldest_first():
     """Green queries at the back sort by the round of their latest
     driver row, so the re-check slice round-robins automatically."""
     verdicts = E._load_verdicts()
-    green = {n for n, (_, ok) in verdicts.items() if ok}
+    green = {n for n, v in verdicts.items() if v[1]}
     names = list(E.queries())
     tail_rounds = [
         verdicts[n][0]
@@ -98,7 +98,7 @@ def test_crash_row_counts_as_regression(tmp_path):
         "CORRECTNESS_r02.json",
         {"q": {"rows_match": None, "hash_match": None, "err": "boom"}},
     )
-    assert E._load_verdicts(str(tmp_path)) == {"q": (2, False)}
+    assert E._load_verdicts(str(tmp_path)) == {"q": (2, False, False)}
 
 
 def test_latest_round_wins_not_latest_filename(tmp_path):
@@ -111,7 +111,7 @@ def test_latest_round_wins_not_latest_filename(tmp_path):
     _write_evidence(
         tmp_path, "CORRECTNESS_r9.json", {"q": {"rows_match": False, "hash_match": False}}
     )
-    assert E._load_verdicts(str(tmp_path))["q"] == (10, True)
+    assert E._load_verdicts(str(tmp_path))["q"] == (10, True, True)
 
 
 def test_malformed_evidence_files_are_skipped(tmp_path):
@@ -124,7 +124,7 @@ def test_malformed_evidence_files_are_skipped(tmp_path):
         {"good": {"rows_match": True, "hash_match": True}, "bad": "not-a-dict"},
     )
     (tmp_path / "CORRECTNESS_r03.json").write_text("{truncated")
-    assert E._load_verdicts(str(tmp_path)) == {"good": (2, True)}
+    assert E._load_verdicts(str(tmp_path)) == {"good": (2, True, True)}
 
 
 def test_force_recheck_self_clears_on_fresh_green():
@@ -134,13 +134,38 @@ def test_force_recheck_self_clears_on_fresh_green():
     window slot."""
     name = "embedding_neardup_pairs"
     assert E.FORCE_RECHECK[name] == 5
-    stale = {name: (3, True)}  # r3 green predates the r5 change
+    stale = {name: (3, True, True)}  # r3 green predates the r5 change
     assert name not in E._effective_green(stale)
-    fresh = {name: (5, True)}  # the r5 row attests the new semantics
+    fresh = {name: (5, True, True)}  # the r5 row attests the new semantics
     assert name in E._effective_green(fresh)
-    red = {name: (6, False)}  # a later RED row must never read as green
+    red = {name: (6, False, False)}  # a later RED row must never read as green
     assert name not in E._effective_green(red)
     assert name not in E._effective_green({})  # no row at all -> unchecked
+    # a rows-only row (err == 'no_oracle') is green for ordering but
+    # CANNOT re-attest changed semantics — it never compared values
+    # (ADVICE r5, __spark_entry__.py:92)
+    rows_only = {name: (5, True, False)}
+    assert name not in E._effective_green(rows_only)
+    # legacy 2-tuple callers keep prior behavior (green == attested)
+    assert name in E._effective_green({name: (5, True)})
+
+
+def test_duplicate_round_evidence_warns(tmp_path, capsys):
+    """CORRECTNESS_r05.json and CORRECTNESS_r5.json both parse to round
+    5; glob order deciding the winner silently is arbitrary evidence —
+    the loader must say so on stderr (ADVICE r5) while staying
+    deterministic and non-fatal (the driver entry point must survive)."""
+    _write_evidence(
+        tmp_path, "CORRECTNESS_r05.json", {"q": {"rows_match": True, "hash_match": True}}
+    )
+    _write_evidence(
+        tmp_path, "CORRECTNESS_r5.json", {"q": {"rows_match": False, "hash_match": False}}
+    )
+    v = E._load_verdicts(str(tmp_path))
+    err = capsys.readouterr().err
+    assert "duplicate CORRECTNESS round 5" in err
+    # deterministic: sorted-filename order means r5.json applies last
+    assert v == {"q": (5, False, False)}
 
 
 def test_rows_only_no_oracle_counts_green(tmp_path):
@@ -149,7 +174,7 @@ def test_rows_only_no_oracle_counts_green(tmp_path):
         "CORRECTNESS_r02.json",
         {"q": {"rows_match": None, "hash_match": None, "err": "no_oracle"}},
     )
-    assert E._load_verdicts(str(tmp_path)) == {"q": (2, True)}
+    assert E._load_verdicts(str(tmp_path)) == {"q": (2, True, False)}
 
 
 def test_priority_prefix_rotates_out_once_green():
@@ -178,6 +203,30 @@ def test_priority_fills_the_unchecked_window():
     assert window[: len(pri_live[: len(window)])] == pri_live[: len(window)]
     if n_unchecked > E.GREEN_SLOT_OFFSET:
         assert len(pri_live) <= E.GREEN_SLOT_OFFSET
+
+
+def test_round6_window_composition():
+    """Pin the closed-registry degenerate case (VERDICT r5 item 4): with
+    every registered query driver-checked and exactly one red row
+    (`array_setops_tokens`, the r5 canonicalizer crash — fix is
+    in-tree), `_ordered_names` must collapse to [the red query] followed
+    by ALL greens oldest-round-first, so the driver's ~50-slot window is
+    1 fix-confirmation + 49 oldest-green re-checks.  Both FORCE_RECHECK
+    names cleared in r5 with full-oracle rows, so they sort by row age
+    like any green.  Self-disables once new evidence lands."""
+    verdicts = E._load_verdicts()
+    green = E._effective_green(verdicts)
+    names = list(E.queries())
+    unchecked = [n for n in names if n not in green]
+    if unchecked != ["array_setops_tokens"]:
+        return  # evidence moved on; the generic ordering tests still bind
+    assert names[0] == "array_setops_tokens"
+    tail_rounds = [verdicts[n][0] for n in names[1:]]
+    assert tail_rounds == sorted(tail_rounds)
+    # the re-check half of the window is the globally oldest greens
+    window_greens = names[1:50]
+    oldest = sorted((n for n in names[1:]), key=lambda n: (verdicts[n][0], n))[:49]
+    assert window_greens == oldest
 
 
 def test_round5_window_composition():

@@ -325,6 +325,13 @@ def test_existence_probe_rejects_nonlocal_uris(spark, tmp_path):
     # missing corruption this guard exists to prevent)
     assert _require_local("file://localhost/x/y.parquet") == "/x/y.parquet"
     assert _require_local("file://127.0.0.1/x/y.parquet") == "/x/y.parquet"
+    # percent-encoded file:// URIs (Hadoop emits these for spaces and
+    # special chars) must decode before os.path stats them, or the file
+    # silently reads as missing (ADVICE r5)
+    assert _require_local("file:///a%20b/c%2Bd.parquet") == "/a b/c+d.parquet"
+    assert _require_local("file://localhost/a%20b.parquet") == "/a b.parquet"
+    # plain paths are NOT URIs: a literal %20 directory must pass through
+    assert _require_local("/a%20b.parquet") == "/a%20b.parquet"
     with pytest.raises(ValueError, match="authority"):
         _require_local("file://nfs-host/x/y.parquet")
     for uri in ("s3://bkt/k.parquet", "hdfs://nn/k.parquet", "abfss://c@a/k"):

@@ -35,10 +35,16 @@ _LOCAL_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
 def _require_local(path: str) -> str:
     """Return a plain filesystem path, raising on non-local URI schemes.
 
-    ``file://`` URIs are local — strip the scheme so os.path works;
-    anything else (s3://, hdfs://, abfss://, gs://, ...) cannot be
-    stat'ed with os.path and must not silently read as 'missing'.
+    ``file://`` URIs are local — strip the scheme AND percent-decode the
+    path portion so os.path works (Hadoop/Spark emit percent-encoded
+    URIs for paths with spaces or special chars: ``file:///a%20b`` must
+    stat ``/a b``, not the encoded string, or the file silently reads as
+    missing — ADVICE r5); anything else (s3://, hdfs://, abfss://,
+    gs://, ...) cannot be stat'ed with os.path and must not silently
+    read as 'missing'.
     """
+    from urllib.parse import unquote
+
     m = _LOCAL_SCHEME_RE.match(path)
     if m is None:
         return path
@@ -46,13 +52,13 @@ def _require_local(path: str) -> str:
     if scheme == "file":
         rest = path[len(m.group(0)) :]
         if rest.startswith("/"):  # file:///abs/path — empty authority
-            return rest
+            return unquote(rest)
         # file://<host>/path carries an authority component; silently
         # dropping it would yield a cwd-relative path and recreate the
         # exact silent-missing corruption this guard exists to prevent.
         host, _, tail = rest.partition("/")
         if host in ("localhost", "127.0.0.1"):
-            return "/" + tail
+            return "/" + unquote(tail)
         raise ValueError(
             f"catalog existence probe got a file:// URI with a non-local "
             f"authority ({path!r}): os.path cannot stat files on "

@@ -65,6 +65,17 @@ def register(
             # Unpersist never breaks correctness — a still-referenced
             # plan just recomputes — so interleaved builds only cost
             # recompute time.
+            #
+            # SEQUENTIAL-BUILD ASSUMPTION (ADVICE r5): this release is
+            # tuned for the build->materialize->build->... loop every
+            # known caller uses (driver, bench, sf_sweep, pytest). A
+            # caller that builds query B BEFORE materializing query A's
+            # result drops A's persisted intermediates and silently pays
+            # recompute (value-safe, perf cliff); a multi-threaded
+            # driver could unpersist a sibling thread's in-use caches
+            # mid-action. Concurrent drivers should build via
+            # QUERIES[name] raw builders per session, or materialize
+            # before the next build.
             from transit_feed_etl_spark.caching import release_caches
 
             release_caches()
