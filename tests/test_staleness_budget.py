@@ -1,0 +1,57 @@
+"""Re-check rotation health (VERDICT r5 items 4/5): with the registry
+closed, the 50-slot driver window must cycle every query's driver
+evidence within the staleness budget. These tests read the REAL
+committed CORRECTNESS_r*.json evidence, so they tighten automatically
+as rounds land — and start enforcing the hard budget once enough rounds
+exist for a full rotation (round 8+)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.staleness_table import BUDGET, staleness
+
+
+def test_every_query_has_a_row_once_registry_closed():
+    """Round 5 closed the registry: from then on no driver-eligible
+    query may be never-checked (a regression here means the rotation
+    broke, not that coverage is pending)."""
+    latest, table = staleness()
+    if latest < 5:
+        return
+    never = [n for n, (_, _, s) in table.items() if s == "never-checked"]
+    assert not never, never
+
+
+def test_green_rows_within_staleness_budget_after_round_8():
+    """At 50 re-checks/round over ~198 queries a full cycle takes ~4
+    rounds; once round 8 evidence exists, no query's latest driver row
+    may be older than BUDGET rounds (VERDICT r5 item 5)."""
+    latest, table = staleness()
+    if latest < 8:
+        return
+    stale = {
+        n: f"r{rnd} ({age} rounds ago)"
+        for n, (rnd, age, _) in table.items()
+        if age > BUDGET
+    }
+    assert not stale, stale
+
+
+def test_verification_doc_table_is_current():
+    """The committed VERIFICATION.md §8 table must match the committed
+    evidence — regenerate with tools/staleness_table.py when a new
+    CORRECTNESS round lands."""
+    from tools.staleness_table import BEGIN, END, render
+
+    doc = (Path(__file__).resolve().parent.parent / "VERIFICATION.md").read_text()
+    assert BEGIN in doc and END in doc
+    committed = doc.partition(BEGIN)[2].partition(END)[0]
+    latest, table = staleness()
+    fresh = render(latest, table).partition(BEGIN)[2].partition(END)[0]
+    assert committed.strip() == fresh.strip(), (
+        "VERIFICATION.md §8 is stale — run: python tools/staleness_table.py"
+    )
