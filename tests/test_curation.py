@@ -92,16 +92,18 @@ def test_cluster_aware_split_has_zero_cross_split_clusters(spark, sf_dir):
 
 
 def test_compression_ratio_matches_python_zlib_replay(spark):
-    """doc_compression_ratio has no SQL oracle (DuckDB has no zlib);
-    the value contract is an EXACT per-document replay through stdlib
-    zlib — same codec, same level — plus ordering sanity."""
+    """No SQL oracle can state deflate lengths (DuckDB has no zlib);
+    the value contract for the full-fidelity twin is an EXACT
+    per-document replay through stdlib zlib — same codec, same level —
+    plus ordering sanity. (The driver-checked doc_compression_ratio
+    projection carries a bound-style oracle instead.)"""
     import zlib
 
     import duckdb
 
     rows = {
         r["doc_id"]: r
-        for r in QUERIES["doc_compression_ratio"].builder(spark, SF_DIR).collect()
+        for r in QUERIES["doc_compression_ratio_full"].builder(spark, SF_DIR).collect()
     }
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"

@@ -78,16 +78,46 @@ def salted_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("event_type")
 
 
-@register("approx_distinct_users", oracle=None)  # HLL sketch: engine-specific -> rows-only
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
     distinct-user counts: constant memory, one pass, mergeable sketches.
-    No oracle: HLL estimates are engine-specific by construction."""
+
+    Bound-style oracle (VERDICT r5 item 8, promoted from rows-only):
+    the raw HLL estimate is engine-specific, so the checked columns are
+    the exact yardstick (COUNT DISTINCT, cross-checked against DuckDB)
+    plus a boolean asserting the sketch landed within ±5% of it —
+    2.5x the configured rsd=0.02. HLL++ is hash-based, no RNG, so for
+    a fixed corpus the boolean is deterministic; at the driver's
+    cardinalities (~150/group) the sparse exact mode makes the estimate
+    exact outright. A sketch regression now reds the row instead of
+    hiding behind a rows-only check. The exact column doubles the work;
+    it exists purely as the in-plan yardstick — production callers use
+    the sketch alone."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n"),
-    ).orderBy("event_type")
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    ).alias("hll_within_5pct")
+    return agg.select("event_type", "n", "exact_users", within).orderBy(
+        "event_type"
+    )
 
 
 @register(
@@ -309,25 +339,55 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentiles", oracle=None)  # sketch-based: engine-specific
+@register(
+    "approx_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(value) AS n,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           TRUE AS p50_in_band,
+           TRUE AS p95_in_band
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per group (the 100 TB path for quantiles):
     percentile_approx runs a bounded-memory mergeable Greenwald-Khanna
     sketch — partial-aggregatable, so the shuffle carries one sketch per
     (partition, group) instead of every value. accuracy=10000 bounds the
-    rank error at n/10000. Rows-only driver check (DuckDB's
-    approx_quantile is a different sketch); tests/test_oracle_parity.py
-    asserts closeness to the exact interpolated percentiles."""
+    rank error at n/10000.
+
+    Bound-style oracle (VERDICT r5 item 8, promoted from rows-only): the
+    raw GK estimates are engine- and merge-order-specific, so the checked
+    columns are exact portables (n, min, max — cross-checked against
+    DuckDB) plus booleans asserting each estimate lies inside the exact
+    ±1.5%-rank envelope computed in the same plan — 150x the sketch's
+    configured rank-error bound, so merge-order jitter can never flip
+    them while a broken sketch always does. tests/test_oracle_parity.py
+    still asserts closeness to the exact interpolated percentiles."""
     ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.95, 10000).alias("p95"),
-            F.count("value").alias("n"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        F.percentile("value", F.lit(0.485)).alias("p50_lo"),
+        F.percentile("value", F.lit(0.515)).alias("p50_hi"),
+        F.percentile("value", F.lit(0.935)).alias("p95_lo"),
+        F.percentile("value", F.lit(0.965)).alias("p95_hi"),
+        F.count("value").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
     )
+    return agg.select(
+        "event_type",
+        "n",
+        "vmin",
+        "vmax",
+        F.col("p50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_band"),
+        F.col("p95").between(F.col("p95_lo"), F.col("p95_hi")).alias("p95_in_band"),
+    ).orderBy("event_type")
 
 
 @register(
