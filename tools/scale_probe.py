@@ -42,6 +42,17 @@ PROBES = [
     ("neardup_jaccard_prefix", {"documents": ["doc_id"]}),
     ("pca_top_component", {"embeddings": ["vec_id"]}),
     ("semdedup_prune", {"embeddings": ["vec_id"]}),
+    # the labeled exact-quadratic verification baseline: blocked
+    # gram-matrix cosine join — expect ~4x/doubling once compute-bound,
+    # and k^2-growing OUTPUT under replication (every vector gains k-1
+    # exact cosine-1.0 copies), same adversarial-replication note as
+    # neardup_jaccard_prefix in SCALE.md
+    ("embedding_neardup_pairs", {"embeddings": ["vec_id"]}),
+    # near-dup clustering end-to-end (prefix-filter pair join + CC):
+    # replication is adversarial here too (k^2 true pairs), so the
+    # interesting signal is that the non-pair stages stay ~linear
+    ("dedup_clusters", {"documents": ["doc_id"]}),
+    ("cluster_aware_split", {"documents": ["doc_id"]}),
     ("bpe_encode_token_counts", {"documents": ["doc_id"]}),
     ("dup_ngram_doc_stats", {"documents": ["doc_id"]}),
     ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
@@ -101,7 +112,10 @@ def build_dir(spark, k: int, scaled: dict[str, list[str]]) -> str:
 
 
 def main() -> int:
+    import re
+
     max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    pat = re.compile(sys.argv[2]) if len(sys.argv) > 2 else None
     ks = [1]
     while ks[-1] * 2 <= max_k:
         ks.append(ks[-1] * 2)
@@ -127,7 +141,7 @@ def main() -> int:
     results: dict[str, dict[int, float]] = {}
     name = "semdedup_prune[cells=16k]"
     results[name] = {}
-    for k in ks:
+    for k in ks if (pat is None or pat.search(name)) else []:
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
@@ -150,7 +164,7 @@ def main() -> int:
     name = "connected_components[chains]"
     results[name] = {}
     depth = 8
-    for k in ks:
+    for k in ks if (pat is None or pat.search(name)) else []:
         n_chains = 4000 * k
         edges = (
             spark.range(n_chains)
@@ -171,6 +185,8 @@ def main() -> int:
         print(f"  {name} x{k}: {best:.2f}s ({n} rows)", flush=True)
 
     for name, _ in PROBES:
+        if pat is not None and not pat.search(name):
+            continue
         q = QUERIES[name]
         results[name] = {}
         for k in ks:
@@ -187,9 +203,10 @@ def main() -> int:
     print(f"\n{'operator':32} " + " ".join(f"{'x' + str(k):>7}" for k in ks)
           + "  ratio/doubling")
     for name, r in results.items():
-        ratios = [r[ks[i + 1]] / r[ks[i]] for i in range(len(ks) - 1)]
-        geo = (ratios[-1] if len(ratios) == 1
-               else (ratios[0] * ratios[-1]) ** 0.5)
+        if not r:
+            continue
+        # geometric mean over ALL doublings: (t_max / t_1)^(1/doublings)
+        geo = (r[ks[-1]] / r[ks[0]]) ** (1.0 / (len(ks) - 1)) if len(ks) > 1 else 1.0
         print(f"{name:32} " + " ".join(f"{r[k]:6.2f}s" for k in ks)
               + f"  {geo:.2f}x")
     return 0
