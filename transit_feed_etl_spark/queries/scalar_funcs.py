@@ -595,9 +595,13 @@ def calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (SELECT doc_id, list_sort(list_distinct(toks)) AS u FROM t)
     SELECT doc_id,
-           array_to_string(
+           -- COALESCE: DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join([]) is '' (sf0.001 has a doc with an
+           -- empty intersect; sf0.01 does not - caught by the local
+           -- small-sf parity run, exactly what it exists for)
+           COALESCE(array_to_string(
              list_sort(list_intersect(u, ['the','a','and','of','key','row'])), ','
-           ) AS common,
+           ), '') AS common,
            CAST(LEN(list_filter(u,
              x -> NOT list_contains(['the','a','and','of','key','row'], x)))
              AS INT) AS n_rest,
