@@ -41,7 +41,11 @@ def test_ordering_contract():
     back.  Collapses to plain unchecked-then-green when the unchecked
     set no longer overflows the window."""
     verdicts = E._load_verdicts()
-    green = {n for n, v in verdicts.items() if v[1]}
+    # EFFECTIVE green (the ordering's own notion): FORCE_RECHECK names
+    # with stale/rows-only rows are unchecked even when their raw latest
+    # row is green — using raw green here diverged from the ordering the
+    # moment round 6 queued its five FORCE_RECHECK entries
+    green = E._effective_green(verdicts)
     names = list(E.queries())
     n_unchecked = sum(1 for n in names if n not in green)
 
@@ -70,7 +74,7 @@ def test_green_tail_is_oldest_first():
     """Green queries at the back sort by the round of their latest
     driver row, so the re-check slice round-robins automatically."""
     verdicts = E._load_verdicts()
-    green = {n for n, v in verdicts.items() if v[1]}
+    green = E._effective_green(verdicts)
     names = list(E.queries())
     tail_rounds = [
         verdicts[n][0]
@@ -206,26 +210,34 @@ def test_priority_fills_the_unchecked_window():
 
 
 def test_round6_window_composition():
-    """Pin the closed-registry degenerate case (VERDICT r5 item 4): with
-    every registered query driver-checked and exactly one red row
-    (`array_setops_tokens`, the r5 canonicalizer crash — fix is
-    in-tree), `_ordered_names` must collapse to [the red query] followed
-    by ALL greens oldest-round-first, so the driver's ~50-slot window is
-    1 fix-confirmation + 49 oldest-green re-checks.  Both FORCE_RECHECK
-    names cleared in r5 with full-oracle rows, so they sort by row age
-    like any green.  Self-disables once new evidence lands."""
+    """Pin the closed-registry round-6 window (VERDICT r5 item 4): the
+    unchecked set is exactly the r5 red row (`array_setops_tokens`, fix
+    in-tree) plus the five round-6 FORCE_RECHECK names whose semantics
+    changed this round (4 oracle promotions + the vecmag-sweep
+    embedding_quantization redesign); the rest of the ~50-slot window is
+    the globally oldest greens, oldest-round-first.  Self-disables once
+    new evidence lands."""
     verdicts = E._load_verdicts()
     green = E._effective_green(verdicts)
     names = list(E.queries())
     unchecked = [n for n in names if n not in green]
-    if unchecked != ["array_setops_tokens"]:
+    expected_unchecked = {
+        "array_setops_tokens",
+        "approx_distinct_users",
+        "approx_percentiles",
+        "approx_top_bigrams",
+        "doc_compression_ratio",
+        "embedding_quantization",
+    }
+    if set(unchecked) != expected_unchecked:
         return  # evidence moved on; the generic ordering tests still bind
-    assert names[0] == "array_setops_tokens"
-    tail_rounds = [verdicts[n][0] for n in names[1:]]
+    assert set(names[: len(unchecked)]) == expected_unchecked
+    tail = names[len(unchecked) :]
+    tail_rounds = [verdicts[n][0] for n in tail]
     assert tail_rounds == sorted(tail_rounds)
     # the re-check half of the window is the globally oldest greens
-    window_greens = names[1:50]
-    oldest = sorted((n for n in names[1:]), key=lambda n: (verdicts[n][0], n))[:49]
+    window_greens = tail[: 50 - len(unchecked)]
+    oldest = sorted(tail, key=lambda n: (verdicts[n][0], n))[: len(window_greens)]
     assert window_greens == oldest
 
 

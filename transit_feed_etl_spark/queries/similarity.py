@@ -395,11 +395,11 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT vec_id,
-           CAST(FLOOR(scale * 1e6) AS BIGINT) AS scale_e6,
+           scale,
            CAST(list_max(qv) AS INTEGER) AS q_max,
            CAST(FLOOR(list_max(list_transform(range(1, LEN(qv) + 1),
-                 i -> ABS(qv[i] / scale - CAST(embedding[i] AS DOUBLE)))) * 1e8)
-             AS BIGINT) AS max_abs_err_e8
+                 i -> ABS(qv[i] - CAST(embedding[i] AS DOUBLE) * scale))) * 1e8)
+             AS BIGINT) AS max_abs_err_q_e8
     FROM q
     ORDER BY vec_id
     """,
@@ -408,9 +408,21 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of embeddings (per-vector symmetric
     scale): 4x memory/shuffle reduction for the ANN index at 100 TB —
     the quantized vectors + one float scale replace float32 arrays, and
-    the reported max_abs_err (<= 1/(2*scale)) bounds the cosine drift.
+    the reported quantization error bounds the cosine drift.
     All higher-order Catalyst expressions; no Python, no explode — one
-    narrow map stage."""
+    narrow map stage.
+
+    Round-6 redesign (magnitude-extreme sweep, test_vecmag_parity.py):
+    the old outputs FLOOR(scale*1e6) and FLOOR(1e8*|qv/scale - x|) are
+    magnitude-DEPENDENT — for embeddings with max|x| > ~2e13 (or
+    < ~1.4e-11) the scaled integers exceed BIGINT, where Spark's
+    floor(double)->long silently SATURATES to Long.MaxValue while
+    DuckDB raises — a silent-wrong-value divergence. Replaced with
+    magnitude-FREE metrics: the raw double `scale` (one division from
+    one float — bit-identical across engines) and the error in QUANT
+    units, |qv - x*scale| <= 0.5 by construction of ROUND, so its e8
+    integer never exceeds 5e7 for ANY input magnitude. The absolute
+    error remains derivable as max_abs_err_q/scale."""
     e = table_par(spark, sf_dir, "embeddings")
     xd = lambda x: x.cast("double")  # noqa: E731
     max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
@@ -418,17 +430,17 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_scale = e.select("vec_id", "embedding", scale.alias("scale"))
     qv = F.transform("embedding", lambda x: F.round(xd(x) * F.col("scale")))
     with_q = with_scale.withColumn("qv", qv)
-    err = F.array_max(
-        F.zip_with("embedding", "qv", lambda x, q: F.abs(q / F.col("scale") - xd(x)))
+    err_q = F.array_max(
+        F.zip_with("embedding", "qv", lambda x, q: F.abs(q - xd(x) * F.col("scale")))
     )
     # FLOOR-scaled integers, not ROUND: round-half ties on an 8th-decimal
     # boundary differ between engines; floor of the identical double is
     # tie-free (see .claude/skills/verify gotchas).
     return with_q.select(
         "vec_id",
-        F.floor(F.col("scale") * 1e6).cast("long").alias("scale_e6"),
+        "scale",
         F.array_max("qv").cast("int").alias("q_max"),
-        F.floor(err * 1e8).cast("long").alias("max_abs_err_e8"),
+        F.floor(err_q * 1e8).cast("long").alias("max_abs_err_q_e8"),
     ).orderBy("vec_id")
 
 
@@ -692,7 +704,16 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact `cosine_topk_bruteforce`. Oracle: the SAME
     HALF_UP rounding hash-matches engine-to-engine (proven by
     `embedding_quantization`), so the quantized scores are fully
-    value-checked, not rows-only."""
+    value-checked, not rows-only.
+
+    Input-domain precondition (magnitude-extreme sweep,
+    test_vecmag_parity.py): a vector whose entries are all below
+    ~max|x|/254 quantizes to ALL ZEROS (denormal-scale embeddings under
+    the 1e-12 scale clamp do), making qnrm zero — the engine then fails
+    FAST under ANSI (DIVIDE_BY_ZERO), the quantized extension of the
+    zero-norm precondition pinned in test_vector_edge_parity.py. DuckDB
+    would instead emit inf-ranked garbage, so the engine's loud failure
+    is the correct behavior, not a parity gap."""
     emb = table_par(spark, sf_dir, "embeddings")
     xd = lambda x: x.cast("double")  # noqa: E731
     max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
