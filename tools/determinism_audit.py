@@ -6,7 +6,11 @@ oracle-parity gate cannot see. ~8 min at sf0.01; run before a round
 hand-off, not in the pytest loop.
 
 Usage: python tools/determinism_audit.py [sf_dir]
-Last clean run: 185/185 deterministic at sf0.01 (round-2 judged session).
+Last clean run: 198/198 deterministic at sf0.01 (round 6; the six
+queries whose outputs changed after that run — the oracle promotions,
+array_setops, and the redesigned embedding_quantization — were
+re-audited individually, plus shuffle=128 parity, same session).
+Round-2 baseline: 185/185.
 """
 
 from __future__ import annotations
