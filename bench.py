@@ -78,6 +78,8 @@ def _sidecar_medians(anchor: dict, sf: float) -> dict[str, float]:
     if (
         isinstance(detail, dict)
         and detail.get("sf") == sf
+        and isinstance(detail.get("queries"), dict)
+        and detail.get("queries")  # non-empty: None == None must not match
         and detail.get("queries") == anchor.get("queries")
     ):
         return detail.get("queries_median") or {}
@@ -129,7 +131,10 @@ def _prev_bench(sf: float) -> tuple[dict[str, float], bool]:
         med = parsed.get("queries_median") or _sidecar_medians(parsed, sf)
         if med:
             return med, True
-        return parsed.get("queries", {}) or {}, False
+        qmap = parsed.get("queries") or {}
+        if qmap:
+            return qmap, False
+        continue  # right-sf anchor with no per-query payload: keep scanning
     return {}, False
 
 

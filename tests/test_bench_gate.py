@@ -130,6 +130,28 @@ def test_prev_bench_promotes_sidecar_medians_only_on_exact_match(
     assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
 
 
+def test_prev_bench_scans_past_payloadless_anchor(tmp_path, monkeypatch):
+    """A right-sf anchor whose parsed payload lost its queries map must
+    fall through to the next usable anchor, not silently disable the
+    gate (round-6 review finding)."""
+    import json
+
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 4.0}}})
+    )
+    (tmp_path / "BENCH_r06.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "value": 123}})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+    # ...and a payloadless anchor + a sidecar missing its own queries
+    # map must not promote unrelated medians via None == None
+    (tmp_path / "bench_detail.json").write_text(
+        json.dumps({"sf": 0.1, "queries_median": {"q": 9.9}})
+    )
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+
+
 def test_stdout_line_fits_driver_capture():
     """The driver keeps only ~2000 chars of stdout tail; the final JSON
     line must stay comfortably inside it at the full 39-query headline

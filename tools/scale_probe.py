@@ -120,13 +120,25 @@ def main() -> int:
     while ks[-1] * 2 <= max_k:
         ks.append(ks[-1] * 2)
     spark = get_spark()
-    # scale union of all id columns used by any probe of that table
-    # (union, not first-wins: pagerank needs lineitem key offsets even
-    # though q1 registered lineitem first with none)
+    # scale union of all id columns used by any SELECTED probe of that
+    # table (union, not first-wins: pagerank needs lineitem key offsets
+    # even though q1 registered lineitem first with none). Respecting
+    # the filter here matters: building k-fold replicas of every table
+    # for a one-probe run wastes minutes and GBs (round-6 review
+    # finding) — but note the x{k} dirs are keyed only by k, so a
+    # pre-existing dir from a DIFFERENT filter is reused as-is; delete
+    # /tmp/scale_probe when switching filters.
+    selected = [
+        (name, scaled)
+        for name, scaled in PROBES
+        if pat is None or pat.search(name)
+    ]
     need: dict[str, list[str]] = {}
-    for _, scaled in PROBES:
+    for _, scaled in selected:
         for t, cols in scaled.items():
             need[t] = sorted(set(need.get(t, [])) | set(cols))
+    if pat is None or pat.search("semdedup_prune[cells=16k]"):
+        need["embeddings"] = sorted(set(need.get("embeddings", [])) | {"vec_id"})
     dirs = {k: build_dir(spark, k, need) for k in ks}
     print(f"built {len(dirs)} scaled dirs: {sorted(dirs.values())}", flush=True)
 
@@ -184,9 +196,7 @@ def main() -> int:
         results[name][k] = best
         print(f"  {name} x{k}: {best:.2f}s ({n} rows)", flush=True)
 
-    for name, _ in PROBES:
-        if pat is not None and not pat.search(name):
-            continue
+    for name, _ in selected:
         q = QUERIES[name]
         results[name] = {}
         for k in ks:

@@ -367,7 +367,17 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1.5%-rank envelope computed in the same plan — 150x the sketch's
     configured rank-error bound, so merge-order jitter can never flip
     them while a broken sketch always does. tests/test_oracle_parity.py
-    still asserts closeness to the exact interpolated percentiles."""
+    still asserts closeness to the exact interpolated percentiles.
+
+    Small-group guard (round-6 review finding): for groups under 150
+    rows the ±1.5%-rank envelope spans less than ~2 order statistics,
+    so the definitional gap between the sketch's nearest-rank answer
+    and the interpolated envelope edges can exceed the band on
+    perfectly correct output — the band is only meaningful when
+    0.015*n comfortably exceeds one rank. Such groups pass the boolean
+    by n-guard instead of by accident; every committed corpus's groups
+    are ~190-20000 rows, so the real check binds everywhere the driver
+    looks."""
     ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("p50"),
@@ -380,13 +390,18 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+    small = F.col("n") < 150
     return agg.select(
         "event_type",
         "n",
         "vmin",
         "vmax",
-        F.col("p50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_band"),
-        F.col("p95").between(F.col("p95_lo"), F.col("p95_hi")).alias("p95_in_band"),
+        (small | F.col("p50").between(F.col("p50_lo"), F.col("p50_hi"))).alias(
+            "p50_in_band"
+        ),
+        (small | F.col("p95").between(F.col("p95_lo"), F.col("p95_hi"))).alias(
+            "p95_in_band"
+        ),
     ).orderBy("event_type")
 
 
