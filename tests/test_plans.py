@@ -740,3 +740,55 @@ def test_asof_join_single_shuffle_no_join_operator(spark):
     assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_quantization_is_pure_map_no_aggregate_no_python(spark):
+    """embedding_quantization promises 'one narrow map stage': all
+    quantization math stays in higher-order JVM expressions — no
+    aggregate, no join, no Python workers; the only exchanges are the
+    presentation orderBy's range partitioning (never a hash shuffle)."""
+    plan = _final_plan(QUERIES["embedding_quantization"].builder(spark, SF))
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_approx_distinct_stays_jvm_side_with_partial_aggs(spark):
+    """approx_distinct_users carries BOTH the HLL sketch and its exact
+    yardstick in one aggregation pipeline: partial (map-side) aggregates
+    before every exchange, zero Python, zero joins — the sketch and the
+    exact count shuffle pre-aggregated bytes, never raw user_ids beyond
+    the distinct expand."""
+    plan = _final_plan(QUERIES["approx_distinct_users"].builder(spark, SF))
+    assert "partial_approx_count_distinct" in plan, plan[:2000]
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    # countDistinct's expand rewrite costs two hash exchanges + the
+    # presentation sort: anything beyond that is a plan regression
+    assert plan.count("Exchange") <= 3, plan[:2000]
+
+
+def test_misra_gries_two_stage_no_per_occurrence_shuffle(spark):
+    """approx_top_bigrams' Misra-Gries path: stage-1 partial sketches per
+    input partition, stage-2 merge on a single partition — exactly two
+    MapInPandas operators, NO hash aggregate and NO hashpartitioning
+    exchange on raw bigram occurrences (the whole point of the sketch:
+    the only data crossing the wire is k counters per partition)."""
+    plan = _final_plan(QUERIES["approx_top_bigrams"].builder(spark, SF))
+    assert plan.count("MapInPandas") == 2, plan[:2000]
+    assert "HashAggregate" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "Exchange SinglePartition" in plan  # the tiny k-counter merge
+
+
+def test_compression_ratio_single_arrow_map_stage(spark):
+    """doc_compression_ratio (and its full-fidelity twin) runs zlib in
+    ONE Arrow-batched MapInPandas over the scan with no shuffle before
+    it — the embarrassingly-parallel shape shared with the multimodal
+    decode stage; the only exchange is the presentation orderBy."""
+    for name in ("doc_compression_ratio", "doc_compression_ratio_full"):
+        plan = _final_plan(QUERIES[name].builder(spark, SF))
+        assert plan.count("MapInPandas") == 1, (name, plan[:1500])
+        assert "HashAggregate" not in plan and "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan, (name, plan[:1500])
