@@ -462,7 +462,15 @@ def map_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no hardcoded key list), aggregate per key. from_json + explode are
     codegen'd JVM-side; the per-key aggregate is partial-aggregatable,
     so at 100 TB the shuffle carries one row per (partition, key), not
-    per event."""
+    per event.
+
+    Input-domain contract (JSON-edge sweep, test_jsonedge_parity.py):
+    unique keys with strictly int-or-null values. from_json is
+    DOCUMENT-lenient — one value failing the declared map<string,int>
+    coercion nulls the WHOLE map (the document vanishes from the
+    explode), and duplicate keys resolve LAST-wins where path
+    extraction (and DuckDB) take the first — both behaviors pinned in
+    the sweep rather than silently assumed."""
     ev = table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     e = ev.select(F.explode(m).alias("prop_key", "val"))
@@ -775,7 +783,15 @@ def variant_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarations (binary variant encoding, no re-parse per field).
     Missing paths yield NULL (counted via n_missing_hits = 0 hits).
     The oracle expresses the same extractions with DuckDB json_extract;
-    aggregation keeps everything integer-typed, so no float drift."""
+    aggregation keeps everything integer-typed, so no float drift.
+
+    Input-domain contract (JSON-edge sweep, test_jsonedge_parity.py):
+    unique keys, int-typed values. Outside it the APIs split by design:
+    parse_json REFUSES duplicate keys (VARIANT_DUPLICATE_KEY);
+    variant_get(int) COERCES scalars ("12"/100.0/1e2 -> 100, true -> 1)
+    where DuckDB's CAST raises, and fails fast (INVALID_VARIANT_CAST)
+    on array/object values — the coercion table is pinned in the
+    sweep."""
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.parse_json("props").alias("v")
     )
