@@ -195,24 +195,13 @@ PRIORITY: tuple[str, ...] = (
 # round whose green row counts.  A query is treated as unchecked while
 # its latest green row predates that round, and clears AUTOMATICALLY
 # once a fresh FULL-ORACLE row lands — no per-round edit, no permanently
-# clogged window slot.  Round 5: both embedding near-dup queries moved
-# from the vacuous cosine>=0.8 cut (empty set on this corpus; VERDICT r4
-# "What's wrong" #1) to corpus-calibrated thresholds — both re-attested
-# green+non-vacuous in CORRECTNESS_r05, so those entries are inert.
-# Round 6: the four promoted rows-only queries gained value oracles
-# with new output schemas (their old rows never compared values), and
-# embedding_quantization switched to magnitude-free metrics after the
-# vecmag sweep caught its old FLOOR-scaled outputs silently saturating
-# Long.MaxValue for max|x| > ~2e13.
-FORCE_RECHECK: dict[str, int] = {
-    "embedding_neardup_pairs": 5,
-    "embedding_dedup_clusters": 5,
-    "approx_distinct_users": 6,
-    "approx_percentiles": 6,
-    "approx_top_bigrams": 6,
-    "doc_compression_ratio": 6,
-    "embedding_quantization": 6,
-}
+# clogged window slot.  Satisfied entries are PRUNED each round (VERDICT
+# r6 "What's wrong" #3) so the map only ever holds binding state; the
+# history of past entries lives in CHANGELOG.md (r5: the two embedding
+# near-dup queries after their vacuous-threshold fix; r6: the four
+# rows-only→value-oracle promotions plus the redesigned
+# embedding_quantization — all re-attested green in CORRECTNESS_r05/r06).
+FORCE_RECHECK: dict[str, int] = {}
 
 
 def _effective_green(

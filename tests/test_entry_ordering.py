@@ -131,13 +131,29 @@ def test_malformed_evidence_files_are_skipped(tmp_path):
     assert E._load_verdicts(str(tmp_path)) == {"good": (2, True, True)}
 
 
-def test_force_recheck_self_clears_on_fresh_green():
+def test_force_recheck_map_holds_only_binding_entries():
+    """Satisfied FORCE_RECHECK entries are pruned each round (VERDICT
+    r6 "What's wrong" #3) so the map is trustworthy rotation state: any
+    entry still present must actually bind — i.e. the query's latest
+    green full-oracle row predates the entry's min round."""
+    verdicts = E._load_verdicts()
+    for name, min_round in E.FORCE_RECHECK.items():
+        row = verdicts.get(name, (0, False, False))
+        attested = row[0] >= min_round and row[1] and (row[2] if len(row) > 2 else row[1])
+        assert not attested, (
+            f"FORCE_RECHECK[{name!r}]={min_round} is satisfied by a green "
+            f"r{row[0]} full-oracle row — prune it"
+        )
+
+
+def test_force_recheck_self_clears_on_fresh_green(monkeypatch):
     """A FORCE_RECHECK name is unchecked while its latest green row
     predates the semantics-change round, and clears AUTOMATICALLY once
     a fresh green row lands — no per-round edit, no permanently clogged
-    window slot."""
+    window slot.  The live map is empty (all past entries satisfied and
+    pruned), so the mechanism is exercised via an injected entry."""
     name = "embedding_neardup_pairs"
-    assert E.FORCE_RECHECK[name] == 5
+    monkeypatch.setitem(E.FORCE_RECHECK, name, 5)
     stale = {name: (3, True, True)}  # r3 green predates the r5 change
     assert name not in E._effective_green(stale)
     fresh = {name: (5, True, True)}  # the r5 row attests the new semantics
@@ -207,6 +223,26 @@ def test_priority_fills_the_unchecked_window():
     assert window[: len(pri_live[: len(window)])] == pri_live[: len(window)]
     if n_unchecked > E.GREEN_SLOT_OFFSET:
         assert len(pri_live) <= E.GREEN_SLOT_OFFSET
+
+
+def test_round7_window_composition():
+    """Pin the fully-green round-7 window (VERDICT r6 item 2): with the
+    registry at 198/198 green and FORCE_RECHECK empty, the unchecked
+    set is empty, so the driver's ~50-query sample is exactly the 50
+    globally-oldest greens — the two r2 rows (`training_shard_manifest`,
+    `weighted_sample_by_quality`) first, then the r3 cohort, with the
+    first r4 row closing the window.  Self-disables once new evidence
+    lands (any unchecked query reappears or the oldest round moves)."""
+    verdicts = E._load_verdicts()
+    green = E._effective_green(verdicts)
+    names = list(E.queries())
+    if any(n not in green for n in names):
+        return  # evidence moved on; the generic ordering tests still bind
+    oldest = sorted(names, key=lambda n: (verdicts[n][0], n))[:50]
+    assert names[:50] == oldest
+    if verdicts[names[0]][0] == 2:
+        assert names[:2] == ["training_shard_manifest", "weighted_sample_by_quality"]
+        assert {verdicts[n][0] for n in names[2:49]} == {3}
 
 
 def test_round6_window_composition():
