@@ -201,7 +201,15 @@ PRIORITY: tuple[str, ...] = (
 # near-dup queries after their vacuous-threshold fix; r6: the four
 # rows-only→value-oracle promotions plus the redesigned
 # embedding_quantization — all re-attested green in CORRECTNESS_r05/r06).
-FORCE_RECHECK: dict[str, int] = {}
+# Round 7: the two token-array scalar queries changed NULL/empty-text
+# semantics (ADVICE r6 — coalesce-to-'' on both engines, has_data CASE
+# mirror, try_element_at for the ANSI element_at crash on zero-token
+# docs found when they entered the null-text sweep), so their r5/r6
+# green rows no longer attest the in-tree code.
+FORCE_RECHECK: dict[str, int] = {
+    "array_functions": 7,
+    "array_setops_tokens": 7,
+}
 
 
 def _effective_green(

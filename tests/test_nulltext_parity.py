@@ -59,6 +59,10 @@ SWEEP_QUERIES = (
     "dedup_keep_best",
     "sorted_neighborhood_pairs",
     "cluster_aware_split",
+    # ADVICE r6: the token-array scalar queries were absent from this
+    # sweep, leaving their NULL-text COALESCE asymmetries latent
+    "array_setops_tokens",
+    "array_functions",
 )
 
 

@@ -327,7 +327,7 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_position(toks, 'the') AS INT) AS pos_the,
            CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END AS has_data,
            list_reverse(toks)[1] AS last_tok,
-           array_to_string(toks[1:3], '-') AS head_joined,
+           COALESCE(array_to_string(toks[1:3], '-'), '') AS head_joined,
            COALESCE(array_to_string(list_filter(toks, t -> LEN(t) >= 6)[1:3], ','), '')
              AS long_toks
     FROM (
@@ -342,7 +342,16 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar surface (Part B array/map/json row): sort, distinct,
     slice, position, contains, reverse, join, lambda filter — all
-    higher-order Catalyst expressions, no explode and no Python."""
+    higher-order Catalyst expressions, no explode and no Python.
+
+    NULL/empty-text edges (pinned by the null-text sweep, ADVICE r6):
+    joined-string columns coalesce to '' on BOTH engines (NULL toks and
+    empty toks converge — DuckDB's array_to_string of an empty list is
+    already NULL, so one COALESCE covers both); has_data mirrors the
+    oracle's CASE fallthrough to 0 on NULL toks; last_tok uses
+    try_element_at because ANSI element_at(arr, 1) THROWS on a
+    zero-token document (found as a crash, not a mismatch, when this
+    query first entered the sweep)."""
     from transit_feed_etl_spark.operators import textfns as TX
 
     d = table(spark, sf_dir, "documents").select(
@@ -351,15 +360,25 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size("toks").alias("n_toks"),
-        F.array_join(
-            F.slice(F.array_sort(F.array_distinct("toks")), 1, 5), ","
+        F.coalesce(
+            F.array_join(
+                F.slice(F.array_sort(F.array_distinct("toks")), 1, 5), ","
+            ),
+            F.lit(""),
         ).alias("first5_sorted"),
         F.array_position("toks", "the").cast("int").alias("pos_the"),
-        F.array_contains("toks", "data").cast("int").alias("has_data"),
-        F.element_at(F.reverse("toks"), 1).alias("last_tok"),
-        F.array_join(F.slice("toks", 1, 3), "-").alias("head_joined"),
-        F.array_join(
-            F.slice(F.filter("toks", lambda t: F.length(t) >= 6), 1, 3), ","
+        F.coalesce(F.array_contains("toks", "data"), F.lit(False))
+        .cast("int")
+        .alias("has_data"),
+        F.try_element_at(F.reverse("toks"), F.lit(1)).alias("last_tok"),
+        F.coalesce(F.array_join(F.slice("toks", 1, 3), "-"), F.lit("")).alias(
+            "head_joined"
+        ),
+        F.coalesce(
+            F.array_join(
+                F.slice(F.filter("toks", lambda t: F.length(t) >= 6), 1, 3), ","
+            ),
+            F.lit(""),
         ).alias("long_toks"),
     ).orderBy("doc_id")
 
@@ -635,9 +654,15 @@ def array_setops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.select("doc_id", u.alias("u"))
     return d.select(
         "doc_id",
-        F.array_join(F.array_sort(F.array_intersect("u", vocab)), ",").alias(
-            "common"
-        ),
+        # coalesce mirrors the oracle's COALESCE on BOTH null-toks docs
+        # (array_join(NULL) is NULL; DuckDB's COALESCE swallows its NULL
+        # too) and empty intersects (DuckDB array_to_string([]) is NULL
+        # where array_join([]) is '') — ADVICE r6, pinned by the
+        # null-text sweep
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_intersect("u", vocab)), ","),
+            F.lit(""),
+        ).alias("common"),
         F.size(F.array_except("u", vocab)).alias("n_rest"),
         F.size("u").alias("n_uniq"),
     ).orderBy("doc_id")
