@@ -80,6 +80,20 @@ def test_minhash_signature_single_exchange_no_join(spark):
     assert plan.count("split(lower(") == 1
 
 
+def test_sketch_only_percentiles_partial_agg(spark):
+    """The 100 TB quantile path (`approx_percentiles_sketch_only`) must
+    ship GK sketches partial-aggregated through its one exchange and
+    contain NO exact percentile expression anywhere — the driver-checked
+    twin deliberately buffers group values for its verification envelope
+    (ADVICE r6); the production plan must not."""
+    plan = _final_plan(QUERIES["approx_percentiles_sketch_only"].builder(spark, SF))
+    assert "partial_percentile_approx" in plan
+    assert not re.search(r"\bpercentile\(", plan), plan[:1500]
+    # exactly one pre-aggregation data exchange (the orderBy range
+    # partition is presentation-only)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_exact_dedup_partial_agg(spark):
     plan = _final_plan(QUERIES["dedup_exact"].builder(spark, SF))
     # partial+final hash aggregate: the shuffle carries (md5, partial

