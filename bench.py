@@ -133,6 +133,18 @@ def _prev_bench(sf: float) -> tuple[dict[str, float], bool]:
             return med, True
         qmap = parsed.get("queries") or {}
         if qmap:
+            # a same-sf anchor without medians (and no sidecar provably
+            # tied to it — e.g. bench_detail.json overwritten by a local
+            # dev run) silently downgrades median-to-median comparison
+            # to min-to-min; say so, like the sf-mismatch path does
+            # (ADVICE r6)
+            print(
+                f"# REGRESSION-GATE NOTE: anchor {os.path.basename(path)}"
+                " has no medians and bench_detail.json does not match its"
+                " run — gate degraded to min-to-min (recommit the sidecar"
+                " from the anchor's run to restore median-to-median)",
+                file=sys.stderr,
+            )
             return qmap, False
         continue  # right-sf anchor with no per-query payload: keep scanning
     return {}, False

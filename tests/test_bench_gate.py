@@ -130,6 +130,30 @@ def test_prev_bench_promotes_sidecar_medians_only_on_exact_match(
     assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
 
 
+def test_degraded_median_gate_is_announced(tmp_path, monkeypatch, capsys):
+    """When a same-sf anchor lacks medians and the sidecar fails the
+    exact-match tie, the gate silently ran min-to-min with no diagnostic
+    (ADVICE r6 — the sf-mismatch path got a stderr note, this downgrade
+    didn't); the downgrade must print a REGRESSION-GATE NOTE."""
+    import json
+
+    anchor = {"sf": 0.1, "queries": {"q": 1.0}}
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps({"parsed": anchor}))
+    (tmp_path / "bench_detail.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 9.9}, "queries_median": {"q": 1.3}})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+    err = capsys.readouterr().err
+    assert "REGRESSION-GATE NOTE" in err and "min-to-min" in err
+    # the median path stays quiet
+    (tmp_path / "bench_detail.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 1.0}, "queries_median": {"q": 1.3}})
+    )
+    assert bench._prev_bench(0.1) == ({"q": 1.3}, True)
+    assert "NOTE" not in capsys.readouterr().err
+
+
 def test_prev_bench_scans_past_payloadless_anchor(tmp_path, monkeypatch):
     """A right-sf anchor whose parsed payload lost its queries map must
     fall through to the next usable anchor, not silently disable the

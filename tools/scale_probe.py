@@ -15,6 +15,7 @@ Usage: python tools/scale_probe.py [max_k]
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -79,7 +80,17 @@ OFFSET = 10_000_000
 
 
 def build_dir(spark, k: int, scaled: dict[str, list[str]]) -> str:
-    out = f"{WORK}/x{k}"
+    # key the dir by WHAT was scaled, not just k: a dir built for a
+    # different probe filter (different scaled-column union) must never
+    # be silently reused with the wrong key offsets (ADVICE r6) — a
+    # filter switch now lands in a fresh dir automatically instead of
+    # relying on the operator deleting /tmp/scale_probe by hand
+    import hashlib
+
+    sig = hashlib.sha256(
+        json.dumps(scaled, sort_keys=True).encode()
+    ).hexdigest()[:10]
+    out = f"{WORK}/x{k}_{sig}"
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         dst = f"{out}/{t}.parquet"
@@ -125,9 +136,9 @@ def main() -> int:
     # even though q1 registered lineitem first with none). Respecting
     # the filter here matters: building k-fold replicas of every table
     # for a one-probe run wastes minutes and GBs (round-6 review
-    # finding) — but note the x{k} dirs are keyed only by k, so a
-    # pre-existing dir from a DIFFERENT filter is reused as-is; delete
-    # /tmp/scale_probe when switching filters.
+    # finding). Build dirs are keyed by (k, hash of the scaled-column
+    # map), so switching filters rebuilds instead of silently reusing a
+    # dir scaled with different key offsets (ADVICE r6).
     selected = [
         (name, scaled)
         for name, scaled in PROBES
