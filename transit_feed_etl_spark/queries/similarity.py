@@ -434,8 +434,9 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("embedding", "qv", lambda x, q: F.abs(q - xd(x) * F.col("scale")))
     )
     # FLOOR-scaled integers, not ROUND: round-half ties on an 8th-decimal
-    # boundary differ between engines; floor of the identical double is
-    # tie-free (see .claude/skills/verify gotchas).
+    # boundary resolve differently between the JVM (half-up on doubles)
+    # and DuckDB (banker's rounding), so ROUND is not portable; FLOOR of
+    # the identical double is tie-free on both engines.
     return with_q.select(
         "vec_id",
         "scale",
