@@ -63,3 +63,96 @@ def test_cache_released_across_different_queries(spark):
     QUERIES["grand_total"].builder(spark, SF).collect()  # non-caching query
     assert len(_TRACKED) == 0  # its build released the leftovers
     release_caches()
+
+
+def test_interleaved_threads_keep_each_others_caches(spark):
+    """Per-thread cache scoping (VERDICT r6 item 5 done-check): two
+    drivers interleaving builds on separate threads keep both queries'
+    caches live until their own next build — thread B's build-entry
+    release must not unpersist thread A's in-use caches, and A's next
+    build releases only A's previous caches."""
+    import threading
+
+    from transit_feed_etl_spark import caching
+
+    release_caches()
+    caching.release_all_caches()
+    q = QUERIES["inverted_index_postings"]
+
+    def my_tracked():
+        with caching._LOCK:
+            return [
+                df
+                for tid, df in caching._TRACKED
+                if tid == threading.get_ident()
+            ]
+
+    # two long-lived worker threads, builds strictly interleaved
+    # (events, not races: thread identity is what's under test)
+    results: dict[str, object] = {}
+    step_a = threading.Event()
+    step_b = threading.Event()
+
+    def worker_a():
+        q.builder(spark, SF).collect()
+        results["a1"] = my_tracked()
+        step_a.set()  # let B build while A's caches are live
+        step_b.wait(120)
+        # B built meanwhile — its build-entry release (on B's thread)
+        # must NOT have dropped a1: the exact hazard this scoping removes
+        with caching._LOCK:
+            live = [df for _, df in caching._TRACKED]
+        results["a1_survived_b"] = all(
+            any(df is l for l in live) for df in results["a1"]
+        )
+        q.builder(spark, SF).collect()  # A's next build: releases a1 only
+        results["a2"] = my_tracked()
+
+    def worker_b():
+        step_a.wait(120)
+        q.builder(spark, SF).collect()
+        results["b1"] = my_tracked()
+        # a1 still live from B's perspective too
+        with caching._LOCK:
+            live = [df for _, df in caching._TRACKED]
+        results["a1_visible_to_b"] = all(
+            any(df is l for l in live) for df in results["a1"]
+        )
+        step_b.set()
+
+    ta = threading.Thread(target=worker_a)
+    tb = threading.Thread(target=worker_b)
+    ta.start(), tb.start()
+    ta.join(240), tb.join(240)
+
+    assert results["a1"] and results["b1"] and results["a2"]
+    assert results["a1_visible_to_b"] is True
+    assert results["a1_survived_b"] is True
+    # A's own next build DID release a1 (fresh caches registered)
+    with caching._LOCK:
+        live = [df for _, df in caching._TRACKED]
+    assert all(not any(df is l for l in live) for df in results["a1"])
+    assert all(any(df is l for l in live) for df in results["a2"])
+    caching.release_all_caches()
+
+
+def test_dead_thread_caches_are_scavenged(spark):
+    """A driver that spawns a fresh thread per query must not leak: once
+    the owner thread exits, any thread's release_caches() reclaims its
+    caches."""
+    import threading
+
+    from transit_feed_etl_spark import caching
+
+    release_caches()
+    caching.release_all_caches()
+    q = QUERIES["inverted_index_postings"]
+
+    t = threading.Thread(target=lambda: q.builder(spark, SF).collect())
+    t.start()
+    t.join(120)
+    with caching._LOCK:
+        orphaned = len(caching._TRACKED)
+    assert orphaned >= 1  # the dead thread left tracked caches behind
+    assert release_caches() >= orphaned  # main thread scavenges them
+    assert len(_TRACKED) == 0

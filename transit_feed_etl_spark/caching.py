@@ -8,37 +8,77 @@ lazy, so they cannot unpersist before their caller materializes the
 result; in a long-lived session (the driver runs every registered query
 in one SparkSession) untracked persists would accumulate.
 
-``persist_tracked`` registers every such cache; ``release_caches()``
-unpersists them all. ``bench.py`` and the test harness call it after
-each query's action completes. MEMORY_AND_DISK + Spark's LRU eviction
-bound the damage even if a caller forgets.
+``persist_tracked`` registers every such cache under the CALLING
+THREAD; ``release_caches()`` unpersists the calling thread's caches
+(plus any whose owner thread has exited, so thread-per-query drivers
+cannot leak). Scoping by thread means a sequential loop still bounds
+outstanding cache to one query's worth — the next build releases the
+previous build's caches — while two drivers interleaving builds on
+separate threads can no longer unpersist each other's in-use caches
+(the threaded-driver hazard documented in registry.register, removed
+per VERDICT r6 item 5). ``bench.py`` and the test harness call
+``release_caches()`` after each query's action completes.
+MEMORY_AND_DISK + Spark's LRU eviction bound the damage even if a
+caller forgets.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
+# (owner thread ident, df) — a plain list so tests can assert on
+# len(_TRACKED); entries are scoped to their registering thread
+_TRACKED: list[tuple[int, DataFrame]] = []
 
 
 def persist_tracked(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
-    """persist() that registers the frame for later release_caches()."""
+    """persist() that registers the frame for later release_caches(),
+    scoped to the calling thread."""
     out = df.persist(level)
-    _TRACKED.append(out)
+    with _LOCK:
+        _TRACKED.append((threading.get_ident(), out))
     return out
 
 
-def release_caches() -> int:
-    """Unpersist every tracked cache (blocking=False); returns count."""
+def _unpersist_all(frames: list[DataFrame]) -> int:
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in frames:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+def release_caches() -> int:
+    """Unpersist every cache tracked by the CALLING thread, plus any
+    whose owner thread has exited (scavenge — a driver that spawns a
+    fresh thread per query would otherwise never release anything).
+    Returns the release count. Caches owned by other LIVE threads are
+    left alone: releasing them mid-action was the threaded-driver
+    hazard this scoping removes."""
+    me = threading.get_ident()
+    alive = {t.ident for t in threading.enumerate()}
+    with _LOCK:
+        mine = [df for tid, df in _TRACKED if tid == me or tid not in alive]
+        _TRACKED[:] = [
+            (tid, df) for tid, df in _TRACKED if tid != me and tid in alive
+        ]
+    # unpersist outside the lock: it round-trips to the JVM
+    return _unpersist_all(mine)
+
+
+def release_all_caches() -> int:
+    """Unpersist EVERY tracked cache regardless of owner — session
+    teardown only; never call this between interleaved builds."""
+    with _LOCK:
+        frames = [df for _, df in _TRACKED]
+        _TRACKED.clear()
+    return _unpersist_all(frames)

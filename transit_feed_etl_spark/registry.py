@@ -66,16 +66,16 @@ def register(
             # plan just recomputes — so interleaved builds only cost
             # recompute time.
             #
-            # SEQUENTIAL-BUILD ASSUMPTION (ADVICE r5): this release is
-            # tuned for the build->materialize->build->... loop every
-            # known caller uses (driver, bench, sf_sweep, pytest). A
-            # caller that builds query B BEFORE materializing query A's
-            # result drops A's persisted intermediates and silently pays
-            # recompute (value-safe, perf cliff); a multi-threaded
-            # driver could unpersist a sibling thread's in-use caches
-            # mid-action. Concurrent drivers should build via
-            # QUERIES[name] raw builders per session, or materialize
-            # before the next build.
+            # The release is THREAD-SCOPED (VERDICT r6 item 5):
+            # release_caches() drops only caches the calling thread
+            # registered (plus orphans of dead threads), so a
+            # multi-threaded driver interleaving builds on separate
+            # threads can no longer unpersist a sibling's in-use caches
+            # mid-action. Remaining caveat: a SINGLE thread that builds
+            # query B before materializing query A's result drops A's
+            # persisted intermediates and silently pays recompute
+            # (value-safe, perf cliff) — materialize before the next
+            # same-thread build.
             from transit_feed_etl_spark.caching import release_caches
 
             release_caches()
