@@ -111,3 +111,59 @@ def test_pagerank_iterations_shuffle_free(spark):
     # (visible through the InMemoryRelation) has broadcast joins only
     assert "InMemoryTableScan" in plan
     assert "Exchange hashpartitioning" not in plan.split("InMemoryRelation")[0]
+
+
+def test_triangle_count_orientations_agree(spark):
+    """Compact-forward (degree-ordered) and id-ordered triangle
+    enumeration must return identical per-node counts — on a hub graph
+    with a KNOWN closed form, and on a hash-scrambled graph where the
+    id order correlates with nothing."""
+    from pyspark.sql import functions as F
+
+    from transit_feed_etl_spark.caching import release_caches
+    from transit_feed_etl_spark.operators.graph import triangle_count
+
+    # star + ring, hub id 0: edges (0,i) for 1<=i<=n, plus (i,i+1).
+    # Triangles are exactly {0, i, i+1} for i in 1..n-1 -> n-1 total;
+    # hub participates in all, ring node i in deg-limited few.
+    n = 200
+    star = spark.range(1, n + 1).select(
+        F.lit(0).alias("a"), F.col("id").alias("b")
+    )
+    ring = spark.range(1, n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    edges = star.unionAll(ring)
+
+    def counts(orient):
+        got = {
+            r["node"]: r["n_tri"]
+            for r in triangle_count(edges, orient=orient).collect()
+        }
+        release_caches()
+        return got
+
+    by_deg = counts("degree")
+    by_id = counts("id")
+    assert by_deg == by_id
+    assert sum(by_deg.values()) == 3 * (n - 1)  # each triangle at 3 nodes
+    assert by_deg[0] == n - 1  # the hub is in every triangle
+    assert by_deg[1] == 1 and by_deg[n] == 1  # ring endpoints: one each
+
+    # scrambled graph: project each node through a hash so neither
+    # orientation degenerates to the other
+    scram = edges.select(
+        F.pmod(F.xxhash64(F.col("a") + 7), F.lit(100000)).alias("a"),
+        F.pmod(F.xxhash64(F.col("b") + 7), F.lit(100000)).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    def counts_of(df, orient):
+        got = {
+            r["node"]: r["n_tri"]
+            for r in triangle_count(df, orient=orient).collect()
+        }
+        release_caches()
+        return got
+
+    d2 = counts_of(scram, "degree")
+    i2 = counts_of(scram, "id")
+    assert d2 == i2 and sum(d2.values()) > 0

@@ -106,3 +106,98 @@ def pagerank(
             else persist_tracked(new_ranks)
         )
     return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def triangle_count(
+    und: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    orient: str = "degree",
+) -> DataFrame:
+    """Count triangles per node over an UNDIRECTED edge list (each edge
+    exactly once, any endpoint order, no self-loops). Returns
+    (node, n_tri); nodes in no triangle are absent.
+
+    The algorithm is the oriented wedge join: direct every edge, build
+    wedges u->v, u->w from each node's forward adjacency, and close
+    them against a directed edge v->w — each triangle counted exactly
+    once. The orientation decides the cost:
+
+    - ``orient='id'``: u->v iff id(u) < id(v). Simple, but a low-id hub
+      of degree d contributes d^2/2 wedges — on skewed (power-law)
+      degree distributions the wedge join explodes quadratically in the
+      hub degree.
+    - ``orient='degree'`` (compact-forward, the production default):
+      u->v iff (deg(u), id(u)) < (deg(v), id(v)). Every edge points
+      toward the HIGHER-degree endpoint, so hubs have near-zero forward
+      degree and wedge work moves to the low-degree fringe; forward
+      degree is bounded by O(sqrt(|E|)) for any graph, making wedge
+      volume O(|E|^1.5) worst-case instead of O(sum deg^2). Costs one
+      extra |E|-row degree join over 'id'.
+
+    Both orientations return identical counts (pinned by
+    tests/test_graph.py); tools/triangle_probe.py measures the skew win.
+    """
+    e = und.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    if orient == "id":
+        fwd = e.select(
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+            F.greatest("a", "b").alias("ord_dst"),  # order key = id
+        )
+    elif orient == "degree":
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # (deg, id) packed into one orderable BIGINT so the wedge
+        # ordering below stays a single-column comparison; ids are
+        # assumed < 2^32 (true for every corpus id space here)
+        key = (F.col("deg").cast("long") * F.lit(4294967296)) + F.col("node")
+        deg = deg.select("node", key.alias("ord"))
+        withord = (
+            e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("ord", "ord_a"), "a")
+            .join(deg.withColumnRenamed("node", "b").withColumnRenamed("ord", "ord_b"), "b")
+        )
+        fwd = withord.select(
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("src"),
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("dst"),
+            F.greatest("ord_a", "ord_b").alias("ord_dst"),
+        )
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
+
+    fwd = persist_tracked(fwd)
+    e1 = fwd.alias("e1")
+    e2 = fwd.alias("e2")
+    e3 = fwd.select(F.col("src").alias("v"), F.col("dst").alias("w")).alias("e3")
+    # wedge v<w in orientation order, closed by the directed edge v->w
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.src") == F.col("e1.src"))
+            & (F.col("e1.ord_dst") < F.col("e2.ord_dst")),
+        )
+        .join(
+            e3,
+            (F.col("v") == F.col("e1.dst")) & (F.col("w") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
