@@ -206,9 +206,17 @@ PRIORITY: tuple[str, ...] = (
 # mirror, try_element_at for the ANSI element_at crash on zero-token
 # docs found when they entered the null-text sweep), so their r5/r6
 # green rows no longer attest the in-tree code.
+# The round-7 zero-variance sweep (tests/test_zerovar_parity.py) then
+# found two more: ANSI corr throwing DIVIDE_BY_ZERO on constant columns
+# (numeric_stats_by_flag — now a guarded covar/stddev quotient) and the
+# min_by tie-break negation picking the LARGEST key among min-price
+# ties (argmax_order_per_status — tie-free on driver corpora, wrong on
+# any real tie).
 FORCE_RECHECK: dict[str, int] = {
     "array_functions": 7,
     "array_setops_tokens": 7,
+    "numeric_stats_by_flag": 7,
+    "argmax_order_per_status": 7,
 }
 
 

@@ -459,13 +459,26 @@ def numeric_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy shuffle) — the distributed formulation Spark codegens is the
     textbook parallel Welford/co-moment merge. Rounded (4-8 dp per
     magnitude) so the merge-order double drift (~1e-14 relative) never
-    crosses a hash boundary."""
+    crosses a hash boundary.
+
+    Correlation is composed as covar_samp/(sd_x*sd_y) behind a
+    positive-variance guard rather than F.corr: under ANSI mode
+    Spark's corr THROWS DIVIDE_BY_ZERO when either column has zero
+    variance (found by the zero-variance sweep on constant columns)
+    while DuckDB's corr returns NULL — the guarded quotient is the
+    same Pearson value on non-degenerate groups (identical co-moment
+    sketches, equality within the 4 dp rounding) and NULL on
+    degenerate ones, matching the oracle."""
     li = table(spark, sf_dir, "lineitem")
+    sd_q = F.stddev_samp("l_quantity")
+    sd_p = F.stddev_samp("l_extendedprice")
+    cv = F.covar_samp("l_quantity", "l_extendedprice")
+    corr = F.when((sd_q > 0) & (sd_p > 0), cv / (sd_q * sd_p))
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(corr, 4).alias("corr_qty_price"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
                 "covar_qty_price"
             ),
@@ -701,9 +714,14 @@ def argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARG_MAX / ARG_MIN (max_by/min_by): the key of the extreme row per
     group without a self-join or window — one partial-aggregatable pass.
     Ties on the price are broken deterministically by composing the
-    ordering value as a (price, key) struct: max_by takes the largest
-    key among max-price rows, min_by the smallest (via -key), so both
-    engines agree even on duplicated prices."""
+    ordering value as a (price, key) struct: lexicographic struct
+    comparison gives max_by the LARGEST key among max-price rows and
+    min_by the SMALLEST key among min-price rows, matching the oracle's
+    (DESC, DESC) / (ASC, ASC) windows. The min side originally negated
+    the key (struct(price, -key)), which picks the largest key among
+    min-price ties — invisible on the tie-free driver corpora, caught by
+    the zero-variance sweep where a constant price makes EVERY row a
+    tie."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
@@ -713,8 +731,7 @@ def argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_price_orderkey"),
             F.max("o_totalprice").alias("max_price"),
             F.min_by(
-                "o_orderkey",
-                F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")),
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
             ).alias("min_price_orderkey"),
             F.min("o_totalprice").alias("min_price"),  # oracle mirrors via rn=1 windows
         )
