@@ -55,3 +55,20 @@ def test_verification_doc_table_is_current():
     assert committed.strip() == fresh.strip(), (
         "VERIFICATION.md §8 is stale — run: python tools/staleness_table.py"
     )
+
+
+def test_registered_in_round_entries_still_bind():
+    """REGISTERED_IN_ROUND (post-closure additions) is rotation state
+    like FORCE_RECHECK: an entry whose query has ANY driver row must be
+    pruned — a stale entry would re-label a genuine rotation defect as
+    'pending-first-row' forever."""
+    import __spark_entry__ as E
+    from tools.staleness_table import REGISTERED_IN_ROUND
+
+    verdicts = E._load_verdicts()
+    for name, first_round in REGISTERED_IN_ROUND.items():
+        row = verdicts.get(name)
+        assert row is None, (
+            f"REGISTERED_IN_ROUND[{name!r}]={first_round} is satisfied by "
+            f"an r{row[0]} driver row — prune it"
+        )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.operators import vectors as V
-from transit_feed_etl_spark.operators.graph import pagerank
+from transit_feed_etl_spark.operators.graph import pagerank, triangle_count
 from transit_feed_etl_spark.registry import register
 
 _DAMPING = 0.85
@@ -237,4 +237,101 @@ def knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
         .orderBy("vec_id")
+    )
+
+
+@register(
+    "coorder_part_triangles",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    e AS (SELECT a, b FROM pp GROUP BY a, b HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nt AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    ),
+    nd AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY node
+    )
+    SELECT d.node AS part,
+           CAST(d.deg AS INT) AS degree,
+           CAST(t.n_tri AS INT) AS n_triangles
+    FROM nd d JOIN nt t ON t.node = d.node
+    ORDER BY part
+    """,
+)
+def coorder_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-ordered-parts affinity graph: parts are
+    adjacent when they appear together in >= 2 distinct orders (the
+    support filter that turns incidental co-occurrence into affinity,
+    and keeps |E| far below the per-order clique expansion); a
+    triangle is a mutually-affine part triple — the seed pattern for
+    bundle/substitute mining. Emits (part, degree, n_triangles) for
+    every part in at least one triangle.
+
+    Runs the compact-forward operator (orient='degree',
+    operators/graph.py::triangle_count): every edge points toward its
+    higher-(degree, id) endpoint so hub wedge fan-out stays bounded on
+    skewed degree distributions — measured flat vs quadratic for the
+    id ordering in tools/triangle_probe.py (SCALE.md). The oracle
+    enumerates with the simple id ordering; the orientations are
+    count-identical (tests/test_graph.py pins the equality), so the
+    driver row attests the production orientation against an
+    independent formulation.
+
+    Scale: the pair build self-joins lineitem within l_orderkey
+    (per-order fan-out bounded by order size, <= 7 in TPC-H); the
+    support-2 HAVING prunes the shuffle to repeat pairs; the wedge
+    join's skew is handled by the orientation itself."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    pp = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_orderkey").alias("ok"),
+            F.col("l1.l_partkey").alias("a"),
+            F.col("l2.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    e = (
+        pp.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+    nt = triangle_count(e, orient="degree")
+    nd = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        nd.join(nt, "node")
+        .select(
+            F.col("node").alias("part"),
+            F.col("deg").cast("int").alias("degree"),
+            F.col("n_tri").cast("int").alias("n_triangles"),
+        )
+        .orderBy("part")
     )
