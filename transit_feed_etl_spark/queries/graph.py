@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from transit_feed_etl_spark.caching import persist_tracked
 from transit_feed_etl_spark.io import table, table_par
 from transit_feed_etl_spark.operators import vectors as V
 from transit_feed_etl_spark.operators.graph import pagerank, triangle_count
@@ -319,6 +320,10 @@ def coorder_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("a", "b")
     )
+    # e feeds three consumers (the operator's degree relation, the
+    # orientation join, and the degree projection below) — persist so
+    # the lineitem self-join + support aggregation runs once, not 3x
+    e = persist_tracked(e)
     nt = triangle_count(e, orient="degree")
     nd = (
         e.select(F.col("a").alias("node"))
