@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Round-start hygiene in one command (VERDICT r6 item 1).
+
+Run FIRST THING each round, after the driver's end-of-round commit has
+landed the new CORRECTNESS/BENCH artifacts:
+
+1. regenerates the VERIFICATION.md §8 staleness table from the newest
+   evidence (otherwise tests/test_staleness_budget.py's tripwire fails
+   all round);
+2. reports whether the committed bench_detail.json sidecar still ties
+   to the newest BENCH anchor (if not, the regression gate silently
+   degrades to min-to-min — recommit the matching sidecar);
+3. lists which FORCE_RECHECK / REGISTERED_IN_ROUND entries still bind —
+   satisfied entries must be pruned (their guard tests fail otherwise).
+
+Exit code 0 = nothing left to do by hand except any listed prunes.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import __spark_entry__ as E  # noqa: E402
+from tools.staleness_table import REGISTERED_IN_ROUND  # noqa: E402
+
+
+def main() -> int:
+    subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "staleness_table.py")], check=True
+    )
+
+    import bench
+
+    anchors = sorted(
+        ROOT.glob("BENCH_r*.json"),
+        key=lambda p: int("".join(c for c in p.stem if c.isdigit()) or 0),
+    )
+    if anchors:
+        parsed = json.loads(anchors[-1].read_text()).get("parsed") or {}
+        sf = parsed.get("sf")
+        med = bench._sidecar_medians(parsed, sf) if sf is not None else {}
+        if med or parsed.get("queries_median"):
+            print(f"sidecar OK: median gate anchored to {anchors[-1].name}")
+        else:
+            print(
+                f"SIDECAR STALE: bench_detail.json does not tie to"
+                f" {anchors[-1].name} — gate degraded to min-to-min;"
+                " recommit the sidecar from that run"
+            )
+
+    verdicts = E._load_verdicts()
+    prunes: list[str] = []
+    for name, min_round in E.FORCE_RECHECK.items():
+        row = verdicts.get(name, (0, False, False))
+        ok = row[0] >= min_round and row[1] and (row[2] if len(row) > 2 else row[1])
+        state = "SATISFIED -> prune" if ok else "binding"
+        if ok:
+            prunes.append(f"FORCE_RECHECK[{name!r}]")
+        print(f"FORCE_RECHECK {name} (r{min_round}+): {state}")
+    for name, first_round in REGISTERED_IN_ROUND.items():
+        if name in verdicts:
+            prunes.append(f"REGISTERED_IN_ROUND[{name!r}]")
+            print(f"REGISTERED_IN_ROUND {name}: row landed -> prune")
+        else:
+            print(f"REGISTERED_IN_ROUND {name} (r{first_round}+): pending")
+    if prunes:
+        print("prune these entries, then rerun:", ", ".join(prunes))
+    print("done — commit the regenerated VERIFICATION.md if it changed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
