@@ -80,7 +80,20 @@ def test_minhash_signature_single_exchange_no_join(spark):
     assert plan.count("split(lower(") == 1
 
 
-def test_sketch_only_percentiles_partial_agg(spark):
+def test_triangle_query_joins_are_hash_not_nested(spark):
+    """coorder_part_triangles: the pair build, wedge join, and closure
+    must all plan as hash joins (equi-keys with the ord inequality as a
+    residual filter) — never cartesian/nested-loop — and the persisted
+    edge relation must serve all three consumers (exactly one lineitem
+    self-join pair build in the executed plan)."""
+    df = QUERIES["coorder_part_triangles"].builder(spark, SF)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # all joins resolved to hash strategies
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    # the edge relation is cached: its build subtree appears once
+    assert "InMemoryTableScan" in plan
     """The 100 TB quantile path (`approx_percentiles_sketch_only`) must
     ship GK sketches partial-aggregated through its one exchange and
     contain NO exact percentile expression anywhere — the driver-checked
