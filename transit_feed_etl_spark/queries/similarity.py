@@ -1971,3 +1971,97 @@ def pca_top2_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("min").alias("which"), "vec_id", "pc1_e6", "pc2_e6"
     )
     return top.unionByName(bot).orderBy(F.desc("which"), "pc2_e6", "vec_id")
+
+
+_EXPECTED_DIM = 64  # the embeddings table's contract dimensionality
+
+
+@register(
+    "embedding_integrity_audit",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS n_dims,
+           embedding IS NULL AS is_null,
+           CASE WHEN embedding IS NULL THEN FALSE
+                ELSE LEN(embedding) <> {_EXPECTED_DIM} END AS wrong_dim,
+           CASE WHEN embedding IS NULL THEN FALSE
+                ELSE LEN(list_filter(embedding, x -> x IS NULL)) > 0
+           END AS has_null_elem,
+           COALESCE(list_bool_or(list_transform(embedding,
+                      x -> NOT isfinite(CAST(x AS DOUBLE)))), FALSE)
+             AS has_nonfinite,
+           CASE WHEN embedding IS NULL
+                  OR LEN(list_filter(embedding, x -> x IS NULL)) > 0
+                THEN FALSE
+                ELSE list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+           END AS zero_norm,
+           CASE WHEN embedding IS NULL THEN FALSE
+                ELSE LEN(embedding) = {_EXPECTED_DIM}
+                 AND LEN(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND NOT COALESCE(list_bool_or(list_transform(embedding,
+                           x -> NOT isfinite(CAST(x AS DOUBLE)))), FALSE)
+                 AND list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) <> 0
+           END AS is_valid
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector integrity audit — THE enforcement tool for the
+    similarity family's input-domain precondition (module docstring):
+    NULL rows, wrong dimensionality, NULL elements, non-finite values,
+    and zero norms are each flagged, plus an is_valid summary to filter
+    on before retrieval.
+
+    Why this exists (round-7 corrupt-embeddings probe): on vectors
+    violating the precondition the similarity family's behavior is
+    ENGINE-SPECIFIC — numpy kernels raise on ragged batches, zip_with
+    pads with NULLs where DuckDB's range() stops short, NULL scores
+    rank differently — 18 of 19 queries silently diverged or crashed on
+    a corpus with one NULL row, one 32-dim vector and one NULL element.
+    A 100 TB pipeline validates once with this map-only scan (one pass,
+    no shuffle beyond the presentation sort) and runs retrieval on the
+    is_valid subset; tests/test_corrupt_embeddings_parity.py proves the
+    remediation restores full cross-engine agreement.
+
+    Flag semantics on NULL/absent data: n_dims is NULL for a NULL row
+    (both engines); the boolean flags are never NULL — element-level
+    flags are FALSE for a NULL row (is_null carries it), zero_norm is
+    FALSE when NULL elements make the norm undefined (has_null_elem
+    carries it), and has_nonfinite coalesces the three-valued OR over
+    NULL elements to FALSE."""
+    v = F.col("embedding")
+    vd = F.transform(v, lambda x: x.cast("double"))
+    is_null = v.isNull()
+    has_null_elem = F.when(is_null, F.lit(False)).otherwise(
+        F.exists(v, lambda x: x.isNull())
+    )
+    nonfinite = F.coalesce(
+        F.exists(vd, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
+        F.lit(False),
+    )
+    sumsq = F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
+    zero_norm = F.when(is_null | has_null_elem, F.lit(False)).otherwise(
+        sumsq == 0.0
+    )
+    right_dim = F.size(v) == _EXPECTED_DIM
+    return (
+        table_par(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.size(v).alias("n_dims"),
+            is_null.alias("is_null"),
+            F.when(is_null, F.lit(False)).otherwise(~right_dim).alias("wrong_dim"),
+            has_null_elem.alias("has_null_elem"),
+            nonfinite.alias("has_nonfinite"),
+            zero_norm.alias("zero_norm"),
+            F.when(is_null, F.lit(False))
+            .otherwise(
+                right_dim & ~has_null_elem & ~nonfinite & (sumsq != 0.0)
+            )
+            .alias("is_valid"),
+        )
+        .orderBy("vec_id")
+    )
