@@ -58,6 +58,8 @@ HEADLINE = (
     "cluster_aware_split",       # near-dup clusters -> leakage-safe split
     "dup_ngram_doc_stats",       # cross-doc duplicated-n-gram coverage
     "exact_substring_spans",     # position-level dup spans (islands merge)
+    "coorder_part_triangles",    # compact-forward triangle wedge join (r7)
+    "embedding_integrity_audit", # map-only vector validation scan (r7)
     "merge_upsert_customer_balance",  # MERGE upsert as pre-agg'd full-outer join
     "incremental_agg_merge",     # materialized-view partial-agg state merge
 )
