@@ -201,23 +201,11 @@ PRIORITY: tuple[str, ...] = (
 # near-dup queries after their vacuous-threshold fix; r6: the four
 # rows-only→value-oracle promotions plus the redesigned
 # embedding_quantization — all re-attested green in CORRECTNESS_r05/r06).
-# Round 7: the two token-array scalar queries changed NULL/empty-text
-# semantics (ADVICE r6 — coalesce-to-'' on both engines, has_data CASE
-# mirror, try_element_at for the ANSI element_at crash on zero-token
-# docs found when they entered the null-text sweep), so their r5/r6
-# green rows no longer attest the in-tree code.
-# The round-7 zero-variance sweep (tests/test_zerovar_parity.py) then
-# found two more: ANSI corr throwing DIVIDE_BY_ZERO on constant columns
-# (numeric_stats_by_flag — now a guarded covar/stddev quotient) and the
-# min_by tie-break negation picking the LARGEST key among min-price
-# ties (argmax_order_per_status — tie-free on driver corpora, wrong on
-# any real tie).
-FORCE_RECHECK: dict[str, int] = {
-    "array_functions": 7,
-    "array_setops_tokens": 7,
-    "numeric_stats_by_flag": 7,
-    "argmax_order_per_status": 7,
-}
+# Round 7's four entries (the two token-array scalar queries after the
+# null-text/try_element_at fixes, plus the ANSI-corr and min_by tie-break
+# fixes from the zero-variance sweep) were all re-attested green in
+# CORRECTNESS_r07 and pruned at round-8 start.
+FORCE_RECHECK: dict[str, int] = {}
 
 
 def _effective_green(
