@@ -167,3 +167,48 @@ def test_triangle_count_orientations_agree(spark):
     d2 = counts_of(scram, "degree")
     i2 = counts_of(scram, "id")
     assert d2 == i2 and sum(d2.values()) > 0
+
+
+def test_triangle_count_degree_orient_handles_64bit_ids(spark):
+    """ids >= 2^32 must count CORRECTLY under orient='degree' (ADVICE r7:
+    the former packed deg<<32+id BIGINT key collided distinct nodes above
+    2^32 and silently dropped wedges; the struct (deg, id) key has no
+    range assumption). Star+ring with every id shifted by 2^33 — raw
+    xxhash64-derived ids, the motivating real-world case, live here too."""
+    from pyspark.sql import functions as F
+
+    from transit_feed_etl_spark.caching import release_caches
+    from transit_feed_etl_spark.operators.graph import triangle_count
+
+    n, shift = 60, 2**33
+    star = spark.range(1, n + 1).select(
+        F.lit(shift).alias("a"), (F.col("id") + shift).alias("b")
+    )
+    ring = spark.range(1, n).select(
+        (F.col("id") + shift).alias("a"), (F.col("id") + 1 + shift).alias("b")
+    )
+    edges = star.unionAll(ring)
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_count(edges, orient="degree").collect()
+    }
+    release_caches()
+    assert sum(got.values()) == 3 * (n - 1)
+    assert got[shift] == n - 1  # the hub keeps every triangle
+    assert got[1 + shift] == 1 and got[n + shift] == 1
+
+    # raw (un-pmod'ed) xxhash64 node ids — 64-bit, sign-mixed
+    hashed = edges.select(
+        F.xxhash64(F.col("a")).alias("a"), F.xxhash64(F.col("b")).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    h_deg = {
+        r["node"]: r["n_tri"]
+        for r in triangle_count(hashed, orient="degree").collect()
+    }
+    release_caches()
+    h_id = {
+        r["node"]: r["n_tri"]
+        for r in triangle_count(hashed, orient="id").collect()
+    }
+    release_caches()
+    assert h_deg == h_id and sum(h_deg.values()) > 0

@@ -94,6 +94,9 @@ def test_triangle_query_joins_are_hash_not_nested(spark):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
     # the edge relation is cached: its build subtree appears once
     assert "InMemoryTableScan" in plan
+
+
+def test_sketch_only_percentiles_partial_agg(spark):
     """The 100 TB quantile path (`approx_percentiles_sketch_only`) must
     ship GK sketches partial-aggregated through its one exchange and
     contain NO exact percentile expression anywhere — the driver-checked

@@ -152,10 +152,13 @@ def triangle_count(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        # (deg, id) packed into one orderable BIGINT so the wedge
-        # ordering below stays a single-column comparison; ids are
-        # assumed < 2^32 (true for every corpus id space here)
-        key = (F.col("deg").cast("long") * F.lit(4294967296)) + F.col("node")
+        # (deg, id) as a two-field struct ordering key: structs compare
+        # lexicographically, so this is the same total order a packed
+        # deg<<32 + id BIGINT would give WITHOUT the id < 2^32 range
+        # assumption — 64-bit ids (e.g. xxhash64-derived node ids) are
+        # normal at the 100 TB target, and a packed key silently
+        # collides for them, dropping wedges (ADVICE r7).
+        key = F.struct(F.col("deg"), F.col("node").alias("id"))
         deg = deg.select("node", key.alias("ord"))
         withord = (
             e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("ord", "ord_a"), "a")
