@@ -80,12 +80,9 @@ def test_interleaved_threads_keep_each_others_caches(spark):
     q = QUERIES["inverted_index_postings"]
 
     def my_tracked():
+        me = threading.current_thread()
         with caching._LOCK:
-            return [
-                df
-                for tid, df in caching._TRACKED
-                if tid == threading.get_ident()
-            ]
+            return [df for ref, df in caching._TRACKED if ref() is me]
 
     # two long-lived worker threads, builds strictly interleaved
     # (events, not races: thread identity is what's under test)
@@ -156,3 +153,51 @@ def test_dead_thread_caches_are_scavenged(spark):
     assert orphaned >= 1  # the dead thread left tracked caches behind
     assert release_caches() >= orphaned  # main thread scavenges them
     assert len(_TRACKED) == 0
+
+
+def test_scavenging_survives_thread_ident_reuse(spark):
+    """CPython reuses thread idents after a thread exits (ADVICE r7): an
+    ident-keyed registry could re-attribute a dead thread's orphaned
+    caches to an unrelated NEW live thread and never scavenge them. The
+    weakref-to-Thread tracking must scavenge the orphan even while a
+    live thread holds the dead owner's recycled ident."""
+    import threading
+
+    from transit_feed_etl_spark import caching
+
+    release_caches()
+    caching.release_all_caches()
+    q = QUERIES["inverted_index_postings"]
+
+    t = threading.Thread(target=lambda: q.builder(spark, SF).collect())
+    t.start()
+    t.join(120)
+    dead_ident = t.ident
+    with caching._LOCK:
+        orphaned = len(caching._TRACKED)
+    assert orphaned >= 1
+
+    # spin up live threads until one recycles the dead owner's ident
+    # (pthread ids are reused aggressively; bail out after 50 tries —
+    # the scavenge assertion below holds either way, the reuse just
+    # makes it exercise the exact ADVICE r7 hazard)
+    stop = threading.Event()
+    holders: list[threading.Thread] = []
+    reused = False
+    for _ in range(50):
+        h = threading.Thread(target=stop.wait)
+        h.start()
+        holders.append(h)
+        if h.ident == dead_ident:
+            reused = True
+            break
+    try:
+        assert release_caches() >= orphaned, (
+            "orphaned caches escaped scavenging"
+            + (" via ident reuse" if reused else "")
+        )
+        assert len(_TRACKED) == 0
+    finally:
+        stop.set()
+        for h in holders:
+            h.join(30)

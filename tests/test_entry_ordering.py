@@ -142,7 +142,8 @@ def test_force_recheck_map_holds_only_binding_entries():
         attested = row[0] >= min_round and row[1] and (row[2] if len(row) > 2 else row[1])
         assert not attested, (
             f"FORCE_RECHECK[{name!r}]={min_round} is satisfied by a green "
-            f"r{row[0]} full-oracle row — prune it"
+            f"r{row[0]} full-oracle row — prune it. EXPECTED at round start "
+            "(ADVICE r7): run python tools/round_start.py for the prune list."
         )
 
 

@@ -53,7 +53,9 @@ def test_verification_doc_table_is_current():
     latest, table = staleness()
     fresh = render(latest, table).partition(BEGIN)[2].partition(END)[0]
     assert committed.strip() == fresh.strip(), (
-        "VERIFICATION.md §8 is stale — run: python tools/staleness_table.py"
+        "VERIFICATION.md §8 is stale. EXPECTED at round start, right after "
+        "the driver's evidence commit lands new CORRECTNESS/BENCH artifacts "
+        "(ADVICE r7) — run: python tools/round_start.py, then commit."
     )
 
 
@@ -70,5 +72,6 @@ def test_registered_in_round_entries_still_bind():
         row = verdicts.get(name)
         assert row is None, (
             f"REGISTERED_IN_ROUND[{name!r}]={first_round} is satisfied by "
-            f"an r{row[0]} driver row — prune it"
+            f"an r{row[0]} driver row — prune it. EXPECTED at round start "
+            "(ADVICE r7): run python tools/round_start.py for the prune list."
         )

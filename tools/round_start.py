@@ -14,6 +14,14 @@ landed the new CORRECTNESS/BENCH artifacts:
    satisfied entries must be pruned (their guard tests fail otherwise).
 
 Exit code 0 = nothing left to do by hand except any listed prunes.
+
+ATOMICITY (ADVICE r7): the staleness/prune guard tests intentionally go
+red the moment the driver's evidence files land and stay red until the
+prune + regen commit — the window between the driver's end-of-round
+commit and this script's commit is EXPECTED to have a red suite, and the
+guards' failure messages say so. Keep the prune edits, the regenerated
+VERIFICATION.md §8, and any refreshed bench_detail.json in ONE commit so
+the repo is never left mid-transition.
 """
 
 from __future__ import annotations

@@ -25,14 +25,20 @@ caller forgets.
 from __future__ import annotations
 
 import threading
+import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _LOCK = threading.Lock()
-# (owner thread ident, df) — a plain list so tests can assert on
-# len(_TRACKED); entries are scoped to their registering thread
-_TRACKED: list[tuple[int, DataFrame]] = []
+# (weakref to owner Thread, df) — a plain list so tests can assert on
+# len(_TRACKED); entries are scoped to their registering thread. A
+# WEAKREF to the Thread OBJECT, not its ident: CPython reuses idents
+# after a thread exits, so an ident-keyed entry could be re-attributed
+# to an unrelated new thread and escape scavenging forever (ADVICE r7).
+# Identity of the Thread object cannot be reused while we can still
+# dereference it.
+_TRACKED: list[tuple[weakref.ref, DataFrame]] = []
 
 
 def persist_tracked(
@@ -42,7 +48,7 @@ def persist_tracked(
     scoped to the calling thread."""
     out = df.persist(level)
     with _LOCK:
-        _TRACKED.append((threading.get_ident(), out))
+        _TRACKED.append((weakref.ref(threading.current_thread()), out))
     return out
 
 
@@ -64,13 +70,17 @@ def release_caches() -> int:
     Returns the release count. Caches owned by other LIVE threads are
     left alone: releasing them mid-action was the threaded-driver
     hazard this scoping removes."""
-    me = threading.get_ident()
-    alive = {t.ident for t in threading.enumerate()}
+    me = threading.current_thread()
+
+    def releasable(ref: weakref.ref) -> bool:
+        owner = ref()
+        # owner collected, or exited (is_alive() is ident-reuse-proof
+        # because we hold the actual Thread object), or it's us
+        return owner is None or owner is me or not owner.is_alive()
+
     with _LOCK:
-        mine = [df for tid, df in _TRACKED if tid == me or tid not in alive]
-        _TRACKED[:] = [
-            (tid, df) for tid, df in _TRACKED if tid != me and tid in alive
-        ]
+        mine = [df for ref, df in _TRACKED if releasable(ref)]
+        _TRACKED[:] = [(ref, df) for ref, df in _TRACKED if not releasable(ref)]
     # unpersist outside the lock: it round-trips to the JVM
     return _unpersist_all(mine)
 
