@@ -212,3 +212,55 @@ def test_triangle_count_degree_orient_handles_64bit_ids(spark):
     }
     release_caches()
     assert h_deg == h_id and sum(h_deg.values()) > 0
+
+
+def test_coorder_triangles_degenerate_lineitem_corpora(spark, tmp_path):
+    """VERDICT r7 item 7: the registered query joins the standing edge
+    corpora. Degenerate AFFINITY GRAPHS the driver corpus can't produce:
+    (a) every lineitem row carries ONE identical partkey — the strict
+    a < b pair build yields zero edges; (b) one giant order holding many
+    distinct parts exactly once — every pair exists but support 1 < 2
+    prunes all of them; (c) two orders sharing the same 4-part clique —
+    support 2 everywhere, C(4,3)=4 triangles, every part at degree 3 in
+    3 triangles. Spark and DuckDB must agree on all three (a/b: empty)."""
+    import pyarrow as pa
+
+    from tests.corpus_utils import make_sf_dir, sweep_queries
+    from transit_feed_etl_spark.queries import QUERIES
+
+    def lineitem(rows):  # rows: (orderkey, partkey)
+        n = len(rows)
+        return pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array(range(1, n + 1), pa.int32()),
+                "l_quantity": pa.array([1.0] * n),
+                "l_extendedprice": pa.array([10.0] * n),
+                "l_discount": pa.array([0.0] * n),
+                "l_tax": pa.array([0.0] * n),
+                "l_returnflag": pa.array(["N"] * n),
+                "l_linestatus": pa.array(["O"] * n),
+                "l_shipdate": pa.array(
+                    [1_500_000_000_000_000] * n, pa.timestamp("us")
+                ),
+            }
+        )
+
+    cases = {
+        "identical_parts": [(ok, 7) for ok in range(1, 9) for _ in range(3)],
+        "single_order_all_distinct": [(1, p) for p in range(1, 13)],
+        "shared_clique": [(ok, p) for ok in (1, 2) for p in (11, 12, 13, 14)],
+    }
+    for label, rows in cases.items():
+        sf = make_sf_dir(str(tmp_path / label), {"lineitem": lineitem(rows)})
+        failures = sweep_queries(spark, sf, ["coorder_part_triangles"])
+        assert not failures, (label, failures)
+
+    got = QUERIES["coorder_part_triangles"].builder(
+        spark, str(tmp_path / "shared_clique")
+    ).collect()
+    assert [(r["part"], r["degree"], r["n_triangles"]) for r in got] == [
+        (p, 3, 3) for p in (11, 12, 13, 14)
+    ]
