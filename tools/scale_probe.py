@@ -74,6 +74,13 @@ PROBES = [
     # 2<=df<=50 band keeps FEWER terms as k grows — the pass-1 count
     # must absorb the k-fold token stream at ~linear cost
     ("inverted_index_postings", {"documents": ["doc_id"]}),
+    # k disjoint copies of the co-ordered-parts affinity graph (orderkey
+    # AND partkey offsets keep per-order groups and the part node space
+    # disjoint): the lineitem self-join pair build is bounded by order
+    # size (constant), the support-2 edge set and the compact-forward
+    # wedge volume both grow k-fold -> expect ~linear (VERDICT r7 item 5
+    # — the one headline query without a measured exponent)
+    ("coorder_part_triangles", {"lineitem": ["l_orderkey", "l_partkey"]}),
 ]
 
 OFFSET = 10_000_000
