@@ -55,6 +55,7 @@ HEADLINE = (
     "pca_top_component",         # scatter-matrix PCA, partial-agg accumulation
     "bpe_encode_token_counts",   # tokenizer train + apply + token accounting
     "semdedup_prune",            # k-means-cell-partitioned semantic dedup
+    "semdedup_prune_sampled",    # sample-trained + two-level assignment (r8)
     "cluster_aware_split",       # near-dup clusters -> leakage-safe split
     "dup_ngram_doc_stats",       # cross-doc duplicated-n-gram coverage
     "exact_substring_spans",     # position-level dup spans (islands merge)

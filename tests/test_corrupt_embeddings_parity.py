@@ -49,6 +49,7 @@ SIM_QUERIES = (
     "mmr_diversified_topk",
     "pca_top_component",
     "semdedup_prune",
+    "semdedup_prune_sampled",
     "pca_top2_projections",
     "knn_graph_clustering",
     "embedding_l2_normalize_udf",
@@ -142,7 +143,8 @@ def test_audit_flags_exactly_the_corrupt_rows(spark, corrupt_sf_dir):
 
 def test_similarity_family_agrees_after_audit_filter(spark, cleaned_sf_dir):
     """The documented remediation: retrieval on the is_valid subset must
-    restore full cross-engine agreement (on the RAW corrupt corpus 18 of
-    19 of these queries diverge or crash — out-of-domain by contract)."""
+    restore full cross-engine agreement (on the RAW corrupt corpus the
+    r7 probe showed 18 of the then-19 queries diverge or crash —
+    out-of-domain by contract)."""
     failures = sweep_queries(spark, cleaned_sf_dir, SIM_QUERIES)
     assert not failures, failures

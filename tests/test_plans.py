@@ -822,3 +822,22 @@ def test_compression_ratio_single_arrow_map_stage(spark):
         assert plan.count("MapInPandas") == 1, (name, plan[:1500])
         assert "HashAggregate" not in plan and "Join" not in plan
         assert "Exchange hashpartitioning" not in plan, (name, plan[:1500])
+
+
+def test_sampled_semdedup_assignment_is_broadcast_only(spark):
+    """semdedup_prune_sampled: the two-level routing must add ZERO data
+    shuffles over the flat pipeline — super/centroid relations broadcast
+    onto the corpus, so the only hashpartitioning exchanges in the
+    executed plan are the same three the flat pipeline pays (the
+    cell-keyed pair join's two sides + the per-victim groupBy); no
+    sort-merge join, no cartesian product anywhere. The one
+    BroadcastNestedLoopJoin is the standard tiny-anchor broadcast
+    (corpus x n_super centroid rows, the `_ivf_assign` shape every IVF
+    query uses)."""
+    df = QUERIES["semdedup_prune_sampled"].builder(spark, SF)
+    df.collect()
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -87,6 +87,7 @@ BOTH_FAIL_FAST = (
     "embedding_mean_by_bucket",
     "pca_top_component",
     "semdedup_prune",
+    "semdedup_prune_sampled",  # same DECIMAL(25,15) Lloyd means
     "pca_top2_projections",
 )
 

@@ -40,6 +40,7 @@ SIM_QUERIES = (
     "mmr_diversified_topk",
     "pca_top_component",
     "semdedup_prune",
+    "semdedup_prune_sampled",
     "pca_top2_projections",
     "knn_graph_clustering",
     "embedding_l2_normalize_udf",

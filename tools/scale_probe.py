@@ -166,7 +166,10 @@ def main() -> int:
     # ~linear where the fixed-16-cell registered query is ~quadratic.
     from transit_feed_etl_spark.operators import vectors as VV
     from transit_feed_etl_spark.io import table_par
-    from transit_feed_etl_spark.queries.similarity import semdedup_pairs
+    from transit_feed_etl_spark.queries.similarity import (
+        semdedup_pairs,
+        semdedup_pairs_sampled,
+    )
 
     results: dict[str, dict[int, float]] = {}
     name = "semdedup_prune[cells=16k]"
@@ -179,6 +182,33 @@ def main() -> int:
                 "vec_id", VV.as_double("embedding").alias("v")
             )
             n = semdedup_pairs(v, n_cells=16 * k).count()
+            best = min(best, time.monotonic() - t0)
+            release_caches()
+            spark.catalog.clearCache()
+        results[name][k] = best
+        print(f"  {name} x{k}: {best:.2f}s ({n} rows)", flush=True)
+
+    # The r8 production plan under the SAME sizing rule: Lloyd trains on
+    # a FIXED-size sample (mod ∝ k keeps |sample| constant while cells
+    # ∝ k), assignment routes through n_super ∝ sqrt(cells) super-cells.
+    # Full training is iters x n x cells ∝ n² under cells ∝ n (the
+    # rising per-doubling curve measured above); this one should flatten.
+    import math
+
+    name = "semdedup_sampled[cells=16k,sample=const]"
+    results[name] = {}
+    for k in ks if (pat is None or pat.search(name)) else []:
+        n_cells, mod = 16 * k, 4 * k
+        n_super = 4 * max(1, int(math.isqrt(k)))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            v = table_par(spark, dirs[k], "embeddings").select(
+                "vec_id", VV.as_double("embedding").alias("v")
+            )
+            n = semdedup_pairs_sampled(
+                v, n_cells=n_cells, sample_mod=mod, n_super=n_super
+            ).count()
             best = min(best, time.monotonic() - t0)
             release_caches()
             spark.catalog.clearCache()

@@ -449,28 +449,46 @@ _KM_ITERS = 3
 _KM_CELLS = 16
 
 
-def _kmeans_training_parts(iters: int, cells: int) -> list[str]:
+def _kmeans_training_parts(
+    iters: int,
+    cells: int,
+    src: str | None = None,
+    pref: str = "c",
+    seed_below: int | None = None,
+) -> list[str]:
     """The unrolled Lloyd-training CTE chain shared by every oracle that
-    consumes trained centroids (`_kmeans_oracle`, `_semdedup_oracle`).
-    Produces CTEs v, c0..c{iters}; the final centroid relation is
-    c{iters}."""
+    consumes trained centroids (`_kmeans_oracle`, `_semdedup_oracle`,
+    `_semdedup_sampled_oracle`). Produces CTEs {pref}0..{pref}{iters};
+    the final centroid relation is {pref}{iters}. Training points come
+    from `src` (a prior CTE with (vec_id, v)); the default emits the
+    standard embeddings CTE `v` first. Seeds are the points with
+    vec_id < seed_below (default: cells) — callers training on a modular
+    SAMPLE pass seed_below = cells * mod so the sparse id space still
+    yields exactly `cells` seeds."""
     cos = _COS6
     mean = (
         "CAST(SUM(CAST({v} AS DECIMAL(25,15))) AS DOUBLE) / COUNT(*)"
     )
-    parts = [
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {cells})",
-    ]
-    for it in range(iters):
-        prev, cur = f"c{it}", f"c{it + 1}"
+    sb = cells if seed_below is None else seed_below
+    parts = []
+    if src is None:
         parts.append(
-            f"""a{it} AS (
+            "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+        )
+        src = "v"
+    parts.append(
+        f"{pref}0 AS (SELECT vec_id AS cid, v AS cv FROM {src} WHERE vec_id < {sb})"
+    )
+    for it in range(iters):
+        prev, cur = f"{pref}{it}", f"{pref}{it + 1}"
+        asg = f"{pref}a{it}"
+        parts.append(
+            f"""{asg} AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                  ORDER BY {cos.format(a="v.v", b="c.cv")} DESC, c.cid ASC) AS rn
-        FROM v CROSS JOIN {prev} c
+        FROM {src} v CROSS JOIN {prev} c
       ) WHERE rn = 1
     )"""
         )
@@ -481,7 +499,7 @@ def _kmeans_training_parts(iters: int, cells: int) -> list[str]:
         SELECT cid, list(mean ORDER BY dim) AS cv
         FROM (
           SELECT a.cid, t.dim, {mean.format(v="v.v[t.dim]")} AS mean
-          FROM a{it} a JOIN v ON v.vec_id = a.vec_id
+          FROM {asg} a JOIN {src} v ON v.vec_id = a.vec_id
           CROSS JOIN (SELECT CAST(range AS INT) AS dim
                       FROM range(1, {EMB_DIM} + 1)) t
           GROUP BY a.cid, t.dim
@@ -539,11 +557,18 @@ def _kmeans_oracle(iters: int = _KM_ITERS, cells: int = _KM_CELLS) -> str:
 
 
 def kmeans_train(
-    v: DataFrame, iters: int, n_cells: int = _KM_CELLS, dim: int = EMB_DIM
+    v: DataFrame,
+    iters: int,
+    n_cells: int = _KM_CELLS,
+    dim: int = EMB_DIM,
+    seed_below: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd training over an embedding frame (vec_id, v):
-    seeds = the n_cells lowest-id vectors, `iters` iterations, returns
-    (cid, cv). iters=0 returns the raw seeds (the untrained quantizer).
+    seeds = the points with vec_id < seed_below (default n_cells — the
+    n_cells lowest-id vectors of a dense id space; sample-trained
+    callers pass n_cells * mod to pick n_cells seeds out of a modular
+    sample), `iters` iterations, returns (cid, cv). iters=0 returns the
+    raw seeds (the untrained quantizer).
 
     Scale design: each iteration is (a) a broadcast of the n_cells-row
     centroid table + map-side argmax — no shuffle of the corpus — and
@@ -556,7 +581,7 @@ def kmeans_train(
     the training itself is differential-tested, which a literals-folded
     oracle could not do."""
     spark = v.sparkSession
-    cent = v.filter(F.col("vec_id") < n_cells).select(
+    cent = v.filter(F.col("vec_id") < (n_cells if seed_below is None else seed_below)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     dims = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("dim"))
@@ -1659,11 +1684,27 @@ def semdedup_pairs(
     cells = _ivf_assign(v, cent, nprobe=1).select(
         "vec_id", F.col("cid").alias("cell")
     )
+    return _semdedup_prune_from_cells(v, cells, tau)
+
+
+def _semdedup_prune_from_cells(
+    v: DataFrame, cells: DataFrame, tau: float
+) -> DataFrame:
+    """The cell-local pair scan + keep-lowest-id prune decision shared
+    by the flat-assignment (`semdedup_pairs`) and sampled/two-level
+    (`semdedup_pairs_sampled`) pipelines: `cells` is any (vec_id, cell)
+    assignment; the quadratic work never crosses a cell boundary."""
     # Per-vector norms computed ONCE before the pair join: the score is
     # still dot/(nrm_a * nrm_b) — the identical IEEE expression tree the
     # oracle's _COS6 evaluates — but the quadratic stage folds each pair's
     # arrays once (the dot) instead of three times (dot + both norms).
-    m = cells.join(v, "vec_id").withColumn("nrm", V.l2_norm(F.col("v")))
+    # PERSISTED: m feeds BOTH sides of the pair join, so without it the
+    # whole assignment subtree runs twice — cheap for the flat argmax,
+    # but the two-level routing's window+join chain doubled wall time
+    # when recomputed (measured 11.6 s -> 6.2 s at sf0.1).
+    m = persist_tracked(
+        cells.join(v, "vec_id").withColumn("nrm", V.l2_norm(F.col("v")))
+    )
     a = m.select(
         F.col("cell").alias("cell_a"),
         F.col("vec_id").alias("ida"),
@@ -1696,6 +1737,180 @@ def semdedup_pairs(
         )
         .select("vec_id", "cell", "keeper_id", "max_cos6")
         .orderBy("vec_id")
+    )
+
+
+_SD_SAMPLE_MOD = 4  # train on vec_id % 4 == 0 (portable deterministic sample)
+_SD_SUPER = 4  # super-cells for the two-level (coarse) assignment
+
+
+def _semdedup_sampled_oracle(
+    iters: int = _KM_ITERS,
+    cells: int = _KM_CELLS,
+    tau: float = _SEMDEDUP_TAU,
+    mod: int = _SD_SAMPLE_MOD,
+    n_super: int = _SD_SUPER,
+) -> str:
+    """DuckDB oracle for semdedup_prune_sampled: Lloyd training unrolled
+    over the MODULAR SAMPLE (vec_id % mod = 0), a second 1-iteration
+    chain training super-centroids over the trained centroids, then the
+    two-level assignment (vector -> nearest super-cell -> nearest
+    centroid within it) and the same pair scan / prune decision as
+    `_semdedup_oracle`. Every stage uses the shared rounded-cosine /
+    cid-ASC tie-break expressions, so the full sampled pipeline is
+    value-level differential-checked."""
+    cos = _COS6
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"vsamp AS (SELECT vec_id, v FROM v WHERE vec_id % {mod} = 0)",
+    ]
+    parts += _kmeans_training_parts(
+        iters, cells, src="vsamp", pref="c", seed_below=cells * mod
+    )
+    final_c = f"c{iters}"
+    parts.append(f"s_v AS (SELECT cid AS vec_id, cv AS v FROM {final_c})")
+    parts += _kmeans_training_parts(
+        1, n_super, src="s_v", pref="s", seed_below=n_super * mod
+    )
+    final_s = "s1"
+    parts.append(
+        f"""c2s AS (
+      SELECT cid, super FROM (
+        SELECT p.vec_id AS cid, s.cid AS super,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {cos.format(a="p.v", b="s.cv")} DESC, s.cid ASC) AS rn
+        FROM s_v p CROSS JOIN {final_s} s
+      ) WHERE rn = 1
+    )"""
+    )
+    parts.append(
+        f"""va AS (
+      SELECT vec_id, super FROM (
+        SELECT v.vec_id, s.cid AS super,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos.format(a="v.v", b="s.cv")} DESC, s.cid ASC) AS rn
+        FROM v v CROSS JOIN {final_s} s
+      ) WHERE rn = 1
+    )"""
+    )
+    parts.append(
+        f"""cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos.format(a="v.v", b="c.cv")} DESC, c.cid ASC) AS rn
+        FROM v v
+        JOIN va  ON va.vec_id = v.vec_id
+        JOIN c2s ON c2s.super = va.super
+        JOIN {final_c} c ON c.cid = c2s.cid
+      ) WHERE rn = 1
+    )"""
+    )
+    return f"""
+    WITH {", ".join(parts)},
+    pairs AS (
+      SELECT ca.cell, ca.vec_id AS ida, cb.vec_id AS idb,
+             {cos.format(a="a.v", b="b.v")} AS cos6
+      FROM cells ca
+      JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id
+      JOIN v a ON a.vec_id = ca.vec_id
+      JOIN v b ON b.vec_id = cb.vec_id
+    )
+    SELECT idb AS vec_id, CAST(MIN(cell) AS INT) AS cell,
+           CAST(MIN(ida) AS BIGINT) AS keeper_id,
+           MAX(cos6) AS max_cos6
+    FROM pairs WHERE cos6 >= {tau}
+    GROUP BY idb
+    ORDER BY vec_id
+    """
+
+
+@register("semdedup_prune_sampled", oracle=_semdedup_sampled_oracle())
+def semdedup_prune_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION training/assignment plan: k-means
+    trained on a fixed deterministic sample (vec_id % 4 == 0, portable
+    to the oracle) instead of the full corpus, and vectors routed to their cell
+    through a two-level (coarse) quantizer — nearest super-cell first,
+    then nearest centroid among only that super-cell's centroids. Output
+    contract is identical to `semdedup_prune` (pruned vec_id, cell,
+    keeper, dooming similarity); the cell boundaries differ because the
+    quantizer is the approximate one.
+
+    Scale rationale (closes the SCALE.md note on `semdedup_prune
+    [cells=16k]`): with cells ∝ corpus n, FULL-corpus Lloyd training is
+    iters × n × cells ∝ n² — the measured 1.28→1.83 rising per-doubling
+    ratio. Sample training costs iters × S × cells ∝ n (S fixed), and
+    two-level assignment replaces the n × cells flat argmax with
+    n × (n_super + cells/n_super) ∝ n^1.5 at n_super = √cells — the
+    standard IVF coarse-quantizer layout. The oracle unrolls the ENTIRE
+    sampled pipeline (sample, both Lloyd chains, two-level routing, pair
+    scan), so approximation ≠ unchecked: every stage hash-matches."""
+    emb = table_par(spark, sf_dir, "embeddings")
+    v = persist_tracked(emb.select("vec_id", V.as_double("embedding").alias("v")))
+    return semdedup_pairs_sampled(v)
+
+
+def semdedup_pairs_sampled(
+    v: DataFrame,
+    n_cells: int = _KM_CELLS,
+    iters: int = _KM_ITERS,
+    tau: float = _SEMDEDUP_TAU,
+    sample_mod: int = _SD_SAMPLE_MOD,
+    n_super: int = _SD_SUPER,
+) -> DataFrame:
+    """The sampled/two-level SemDeDup pipeline over a (vec_id, v) frame
+    with parameterized sizing — the registered query pins the constants
+    so the unrolled oracle stays tractable; tools/scale_probe.py calls
+    this directly with cells grown ∝ corpus (the sizing rule whose
+    full-train cost curve this construction flattens, SCALE.md)."""
+    samp = v.filter(F.col("vec_id") % sample_mod == 0)
+    cent = persist_tracked(
+        kmeans_train(
+            samp, iters=iters, n_cells=n_cells, seed_below=n_cells * sample_mod
+        )
+    )
+    cells = two_level_assign(
+        v, cent, n_super=n_super, seed_below=n_super * sample_mod
+    )
+    return _semdedup_prune_from_cells(v, cells, tau)
+
+
+def two_level_assign(
+    v: DataFrame, cent: DataFrame, n_super: int, seed_below: int
+) -> DataFrame:
+    """(vec_id, cell) via a two-level coarse quantizer: train n_super
+    super-centroids over the centroid table (1 Lloyd iteration), route
+    each vector to its nearest super-cell, then argmax-cosine only among
+    that super-cell's centroids. Assignment compute drops from
+    n × cells to n × (n_super + cells/n_super) and every relation the
+    corpus touches is broadcast — the corpus itself never shuffles
+    during assignment (the window argmax keys on vec_id, the corpus's
+    natural key)."""
+    cent_pts = cent.select(F.col("cid").alias("vec_id"), F.col("cv").alias("v"))
+    sup = persist_tracked(
+        kmeans_train(cent_pts, iters=1, n_cells=n_super, seed_below=seed_below)
+    )
+    # centroid -> super-cell (tiny: cells rows x n_super centroids)
+    c2s = _ivf_assign(cent_pts, sup, nprobe=1).select(
+        F.col("vec_id").alias("cid"), F.col("cid").alias("super")
+    )
+    # vector -> super-cell (n x n_super, broadcast argmax, no shuffle)
+    va = _ivf_assign(v, sup, nprobe=1).select(
+        "vec_id", F.col("cid").alias("super")
+    )
+    # vector -> nearest centroid WITHIN its super-cell: the candidate
+    # set is cells/n_super centroids on average, not all of them — both
+    # small relations broadcast
+    cos_c = F.round(V.cosine(F.col("v"), F.col("cv")), 6)
+    wa = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+    return (
+        va.join(v, "vec_id")
+        .join(F.broadcast(c2s), "super")
+        .join(F.broadcast(cent), "cid")
+        .select("vec_id", "cid", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
     )
 
 
