@@ -66,16 +66,26 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# Portable ASCII-whitespace class. Java's bare \s is [ \t\n\x0B\f\r]
+# while RE2 (DuckDB) \s is [ \t\n\f\r] — NO \x0B — so any
+# oracle-mirrored regex written with \s silently diverges on
+# vertical-tab input (found by the control-whitespace sweep,
+# tests/test_ctrlws_parity.py). Every whitespace-sensitive regex in
+# this engine and in its DuckDB oracles spells the class out instead;
+# the sweep greps the source to keep bare \s from creeping back in.
+WS = r" \t\n\x0B\f\r"
+
+
 def bpe_ish_token_count(text: Column | str) -> Column:
     """BPE-ish pre-tokenizer count: word runs + individual non-space
     punctuation, the standard GPT-style pre-split regex shape."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
+    return F.size(F.regexp_extract_all(c, F.lit(rf"\w+|[^\w{WS}]"), 0))
 
 
 def punct_ratio(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    n_punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    n_punct = F.length(F.regexp_replace(c, rf"[\w{WS}]", ""))
     return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
 
 
@@ -105,7 +115,7 @@ def doc_fingerprint(text: Column | str) -> Column:
     """Whole-document fingerprint: md5 of the whitespace-normalized,
     lowercased text (engine-portable — DuckDB md5 produces identical hex)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), rf"[{WS}]+", " ")))
 
 
 def min_shingle_fingerprint(shingles: Column) -> Column:

@@ -35,7 +35,7 @@ _FEATS_SQL = """
              CAST(1.0 AS DOUBLE) AS x0,
              LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0) AS x1,
              CASE WHEN LENGTH(text) > 0
-                  THEN CAST(LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g'))
+                  THEN CAST(LENGTH(REGEXP_REPLACE(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g'))
                        AS DOUBLE) / LENGTH(text) ELSE 0 END AS x2,
              CASE WHEN LEN(toks) > 0
                   THEN CAST(LEN(list_filter(toks,

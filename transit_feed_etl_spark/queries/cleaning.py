@@ -346,7 +346,7 @@ def approx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross_split_contamination",
     oracle=f"""
     WITH s AS (
-      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
              CASE WHEN {{h}} % 100 < 90 THEN 'train'
                   WHEN {{h}} % 100 < 95 THEN 'val' ELSE 'test' END AS split
       FROM documents
@@ -370,7 +370,7 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_par(spark, sf_dir, "documents")
     h = MH.portable_hash60(F.col("doc_id").cast("string")) % 100
     split = F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
-    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), rf"[{TX.WS}]+", " ")))
     s = d.select("doc_id", fp.alias("fp"), split.alias("split"))
     t = s.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_doc_id"), "fp"
@@ -401,7 +401,7 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_tokens FROM (
         SELECT doc_id, lang, n_tokens,
                ROW_NUMBER() OVER (
-                 PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                  ORDER BY doc_id) AS rn
         FROM q
       ) WHERE rn = 1
@@ -435,7 +435,7 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 20)
         & (F.size(F.array_distinct("toks")).cast("double") / F.col("n_tokens") >= 0.3)
     )
-    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), rf"[{TX.WS}]+", " ")))
     from pyspark.sql import Window as W
 
     w = W.partitionBy(fp).orderBy("doc_id")

@@ -61,7 +61,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_normalized",
     oracle="""
-    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS norm_hash,
+    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm_hash,
            MIN(doc_id) AS canonical_id,
            COUNT(*) AS n_copies
     FROM documents

@@ -30,12 +30,12 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
       doc_id,
       LENGTH(text) AS n_chars,
       CAST(LEN(toks) AS INT) AS n_tokens,
-      CAST(LEN(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_bpe_tokens,
+      CAST(LEN(regexp_extract_all(text, '\\w+|[^\\w \\t\\n\\x0B\\f\\r]')) AS INT) AS n_bpe_tokens,
       ROUND(CASE WHEN LEN(toks) > 0
-            THEN CAST(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS DOUBLE) / LEN(toks)
+            THEN CAST(LENGTH(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) / LEN(toks)
             ELSE 0 END, 6) AS avg_token_len,
       ROUND(CASE WHEN LENGTH(text) > 0
-            THEN CAST(LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+            THEN CAST(LENGTH(REGEXP_REPLACE(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                  / LENGTH(text) ELSE 0 END, 6) AS punct_ratio,
       ROUND(CASE WHEN LEN(toks) > 0
             THEN CAST(LEN(list_filter(toks,
@@ -52,7 +52,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = TX.tokens("text")
     d = d.withColumn("toks", toks)
     nt = F.size("toks")
-    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    nonspace = F.length(F.regexp_replace(F.col("text"), rf"[{TX.WS}]", ""))
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -130,7 +130,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
-           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS content_fp,
+           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS content_fp,
            LIST_MIN(list_transform(shingles, s -> MD5(s))) AS min_shingle_fp,
            CAST(LEN(shingles) AS INT) AS n_shingles
     FROM s
@@ -160,7 +160,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_chars,
         CAST(LEN(toks) AS DOUBLE) AS n_tokens,
         CASE WHEN LENGTH(text) > 0
-             THEN CAST(LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+             THEN CAST(LENGTH(REGEXP_REPLACE(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                   / LENGTH(text) ELSE 0 END AS punct_ratio,
         CASE WHEN LEN(toks) > 0
              THEN CAST(LEN(list_filter(toks,
