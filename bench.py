@@ -60,6 +60,7 @@ HEADLINE = (
     "dup_ngram_doc_stats",       # cross-doc duplicated-n-gram coverage
     "exact_substring_spans",     # position-level dup spans (islands merge)
     "coorder_part_triangles",    # compact-forward triangle wedge join (r7)
+    "pq_adc_rerank_topk",        # PQ codebooks + ADC shortlist + re-rank (r8)
     "embedding_integrity_audit", # map-only vector validation scan (r7)
     "merge_upsert_customer_balance",  # MERGE upsert as pre-agg'd full-outer join
     "incremental_agg_merge",     # materialized-view partial-agg state merge

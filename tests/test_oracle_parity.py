@@ -100,6 +100,29 @@ def test_ann_lsh_recall_vs_exact(spark, oracle_sf_dir):
     assert hits / total >= 0.4, (hits, total)
 
 
+def test_pq_adc_rerank_recall_vs_exact(spark, oracle_sf_dir):
+    """Rows-contract for the PQ path: the ADC-shortlist + exact-re-rank
+    cascade must agree with the exact float top-5 on >= 80% of neighbor
+    slots (0.88 measured at both sf0.001 and sf0.01 on the near-random
+    driver embeddings — PQ's hardest case; pure ADC without the re-rank
+    measures only 0.30-0.34, which is why the registered query is the
+    two-stage cascade)."""
+    from transit_feed_etl_spark.queries import QUERIES
+
+    def topk(name):
+        out = {}
+        for r in QUERIES[name].builder(spark, oracle_sf_dir).collect():
+            out.setdefault(r["qid"], set()).add(r["nid"])
+        return out
+
+    exact = topk("cosine_topk_bruteforce")
+    pq = topk("pq_adc_rerank_topk")
+    assert exact.keys() == pq.keys()
+    hits = sum(len(exact[q] & pq[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.8, (hits, total)
+
+
 def test_hll_distinct_close_to_exact(spark, oracle_sf_dir):
     """Contract for approx_count_distinct: HLL++ at rsd=0.02 must land
     within 5% of the exact distinct count per group. The registered

@@ -841,3 +841,54 @@ def test_sampled_semdedup_assignment_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pq_adc_rerank_broadcasts_codebooks_and_shortlist(spark):
+    """pq_adc_rerank_topk, search tail (the part visible past the
+    persisted codebook/subvector relations): the LUT join onto the code
+    columns and the shortlist/query re-rank joins must all be broadcast
+    hash joins — never sort-merge or cartesian — and the corpus-keyed
+    exchanges are bounded (the ADC (qid, nid) partial agg plus the
+    shared qid window exchange)."""
+    df = QUERIES["pq_adc_rerank_topk"].builder(spark, SF)
+    df.collect()
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_pq_lloyd_training_is_broadcast_plus_partial_aggs(spark):
+    """The PQ codebook training plan itself (all M subspaces in ONE
+    (m, vec_id, sv) frame): centroids and the 16-row dims anchor
+    broadcast onto the corpus — assignment never sort-merges or goes
+    cartesian — and the per-(m, cid, dim) centroid means partial-
+    aggregate map-side before their exchange (the `kmeans_train`
+    contract, restated for the fused multi-subspace frame)."""
+    from transit_feed_etl_spark.io import table_par
+    from transit_feed_etl_spark.operators import vectors as V
+    import transit_feed_etl_spark.queries.similarity as S
+
+    # the registered query persists subs/cb with IDENTICAL logical
+    # plans; Spark's cache manager would substitute them here and
+    # collapse the training plan to an InMemoryTableScan (observed as
+    # a test-order dependency) — clear first so the TRAINING plan is
+    # what gets pinned
+    spark.catalog.clearCache()
+    v = table_par(spark, SF, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    cb = S._pq_lloyd(S._pq_subvectors(v))
+    cb.collect()
+    plan = cb._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    # only the tiny dims anchor may nested-loop (the `_ivf_assign`-style
+    # 16-row broadcast); one per Lloyd iteration
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:2000]
+    assert "partial_sum" in plan

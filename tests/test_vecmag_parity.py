@@ -88,6 +88,7 @@ BOTH_FAIL_FAST = (
     "pca_top_component",
     "semdedup_prune",
     "semdedup_prune_sampled",  # same DECIMAL(25,15) Lloyd means
+    "pq_adc_rerank_topk",  # DECIMAL(25,15) subspace Lloyd means + ADC sum
     "pca_top2_projections",
 )
 

@@ -41,6 +41,7 @@ SIM_QUERIES = (
     "pca_top_component",
     "semdedup_prune",
     "semdedup_prune_sampled",
+    "pq_adc_rerank_topk",
     "pca_top2_projections",
     "knn_graph_clustering",
     "embedding_l2_normalize_udf",

@@ -43,6 +43,11 @@ PROBES = [
     ("neardup_jaccard_prefix", {"documents": ["doc_id"]}),
     ("pca_top_component", {"embeddings": ["vec_id"]}),
     ("semdedup_prune", {"embeddings": ["vec_id"]}),
+    # PQ: training is corpus-linear (fixed M x K codebooks), encoding and
+    # the ADC scan linear, shortlist/re-rank per-query-bounded — expect
+    # ~linear; the replicated corpus keeps queries fixed (vec_id < 10
+    # survive the offset-0 replica) so output stays 50 rows
+    ("pq_adc_rerank_topk", {"embeddings": ["vec_id"]}),
     # the labeled exact-quadratic verification baseline: blocked
     # gram-matrix cosine join — expect ~4x/doubling once compute-bound,
     # and k^2-growing OUTPUT under replication (every vector gains k-1
