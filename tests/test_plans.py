@@ -892,3 +892,22 @@ def test_pq_lloyd_training_is_broadcast_plus_partial_aggs(spark):
     # 16-row broadcast); one per Lloyd iteration
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:2000]
     assert "partial_sum" in plan
+
+
+def test_url_canonical_dedup_single_exchange_scan_stage_canon(spark):
+    """url_canonical_dedup: canonicalization must stay a scan-stage
+    string projection — zero joins, and the only corpus exchange is the
+    canonical-key groupBy (partial counts map-side), plus the
+    presentation sort."""
+    df = QUERIES["url_canonical_dedup"].builder(spark, SF)
+    df.collect()
+    plan = _final_plan(df)
+    assert "Join" not in plan
+    # two exchanges, both canonical-keyed: Spark's count-distinct
+    # rewrite shuffles (canonical, url) pairs first, then the
+    # canonical-keyed final agg — no third exchange, no raw-text keys
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+    assert "partial_count" in plan or "partial_min" in plan, plan[:1500]
+    # doc_id filter pushed to the parquet scan, which reads ONLY doc_id
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,400)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan

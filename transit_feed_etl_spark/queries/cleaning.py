@@ -557,3 +557,159 @@ def doc_compression_ratio_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity (repetitive text compresses strictly better than
     high-entropy text), in tests/test_curation.py."""
     return _compression_scores(spark, sf_dir)
+
+
+# URL variant suffixes, keyed by doc_id % 4: mixed-case host + default
+# port + trailing slash + utm tracking, reordered params + utm, fragment,
+# ref tracking + port + trailing slash. Groups of 4 consecutive doc_ids
+# construct the SAME logical page so canonicalization must collapse them.
+_URL_CANON_SQL = """
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://CDN' || CAST((doc_id // 4) % 5 AS VARCHAR)
+                 || '.Example.com:443/docs/sec' || CAST((doc_id // 4) % 3 AS VARCHAR)
+                 || '/page' || CAST(doc_id // 4 AS VARCHAR)
+                 || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_source=x'
+               WHEN 1 THEN 'https://cdn' || CAST((doc_id // 4) % 5 AS VARCHAR)
+                 || '.example.com/docs/sec' || CAST((doc_id // 4) % 3 AS VARCHAR)
+                 || '/page' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?utm_campaign=y&id=' || CAST(doc_id // 4 AS VARCHAR)
+               WHEN 2 THEN 'https://cdn' || CAST((doc_id // 4) % 5 AS VARCHAR)
+                 || '.example.com/docs/sec' || CAST((doc_id // 4) % 3 AS VARCHAR)
+                 || '/page' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '#section-2'
+               ELSE 'https://cdn' || CAST((doc_id // 4) % 5 AS VARCHAR)
+                 || '.example.com:443/docs/sec' || CAST((doc_id // 4) % 3 AS VARCHAR)
+                 || '/page' || CAST(doc_id // 4 AS VARCHAR)
+                 || '/?ref=feed&id=' || CAST(doc_id // 4 AS VARCHAR)
+             END AS url
+      FROM documents WHERE doc_id < 400
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_extract(lower(url), '^([a-z]+)://', 1) AS proto,
+             regexp_replace(
+               regexp_extract(lower(url), '^[a-z]+://([^/?#]+)', 1),
+               ':443$', '') AS host,
+             regexp_replace(
+               regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+               '/$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             proto || '://' || host || path ||
+             CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+      FROM (
+        SELECT doc_id, url, proto, host, path,
+               array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'ref='))), '&') AS kept
+        FROM parts
+      )
+    )
+    SELECT canonical_url,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_variants,
+           CAST(COUNT(DISTINCT url) AS INT) AS n_distinct_raw
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_doc_id
+"""
+
+
+@register("url_canonical_dedup", oracle=_URL_CANON_SQL)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-curation FRONT DOOR:
+    the same page arrives as many raw URLs (case-variant hosts, default
+    ports, trailing slashes, tracking params in any order, fragments),
+    and fetch/store dedup must collapse them BEFORE any content
+    processing. Canonical form: lowercase protocol+host, strip the
+    default :443 port, strip the trailing slash, drop the fragment,
+    drop utm_*/ref tracking params, sort the surviving query params.
+    Groups of 4 consecutive doc_ids construct the same logical page
+    through 4 different raw shapes, so every canonical group must
+    report n_variants=4 collapsing 4 distinct raw strings.
+
+    Scale design: canonicalization is a pure scan-stage string
+    projection (zero shuffle, whole-stage codegen; the doc_id filter and
+    single-column read are plan-pinned at the parquet scan); the dedup
+    is one canonical-keyed groupBy — the count-distinct integrity column
+    adds Spark's standard two-phase rewrite, so the executed plan
+    carries exactly TWO canonical-keyed exchanges (plan-pinned). URLs
+    are short, but at 100 TB the same plan swaps the group key for
+    md5(canonical) so the exchange carries 32-byte digests (the
+    `dedup_exact` contract). Both engines
+    run identical anchored regexes (the conservative Java/RE2-agreeing
+    subset, same contract as `pii_redaction`) and an identical
+    filter-sort-join param pipeline."""
+    d = table_par(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    p = (F.col("doc_id") / 4).cast("long")
+    host_n = (p % 5).cast("string")
+    sec = (p % 3).cast("string")
+    pg = p.cast("string")
+    variants = [
+        F.concat(
+            F.lit("https://CDN"), host_n, F.lit(".Example.com:443/docs/sec"),
+            sec, F.lit("/page"), pg, F.lit("/?id="), pg, F.lit("&utm_source=x"),
+        ),
+        F.concat(
+            F.lit("https://cdn"), host_n, F.lit(".example.com/docs/sec"),
+            sec, F.lit("/page"), pg, F.lit("?utm_campaign=y&id="), pg,
+        ),
+        F.concat(
+            F.lit("https://cdn"), host_n, F.lit(".example.com/docs/sec"),
+            sec, F.lit("/page"), pg, F.lit("?id="), pg, F.lit("#section-2"),
+        ),
+        F.concat(
+            F.lit("https://cdn"), host_n, F.lit(".example.com:443/docs/sec"),
+            sec, F.lit("/page"), pg, F.lit("/?ref=feed&id="), pg,
+        ),
+    ]
+    mod = F.col("doc_id") % 4
+    url = (
+        F.when(mod == 0, variants[0])
+        .when(mod == 1, variants[1])
+        .when(mod == 2, variants[2])
+        .otherwise(variants[3])
+    )
+    u = d.select("doc_id", url.alias("url"))
+    proto = F.regexp_extract(F.lower("url"), r"^([a-z]+)://", 1)
+    host = F.regexp_replace(
+        F.regexp_extract(F.lower("url"), r"^[a-z]+://([^/?#]+)", 1), r":443$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda t: (t != "")
+                & ~t.startswith("utm_")
+                & ~t.startswith("ref="),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return (
+        u.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("url").cast("int").alias("n_distinct_raw"),
+        )
+        .orderBy("canonical_doc_id")
+    )
