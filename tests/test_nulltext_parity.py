@@ -63,6 +63,8 @@ SWEEP_QUERIES = (
     # sweep, leaving their NULL-text COALESCE asymmetries latent
     "array_setops_tokens",
     "array_functions",
+    # r8: global-quantile pruning consumes the token-uniqueness score
+    "quality_threshold_prune",
 )
 
 

@@ -47,6 +47,7 @@ TEXT_QUERIES = (
     "neardup_jaccard_pairs",
     "doc_repetition_scores",
     "tfidf_top_terms",
+    "quality_threshold_prune",
 )
 
 

@@ -519,3 +519,70 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("below_k", F.col("group_size") < 5)
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@register(
+    "quality_threshold_prune",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             ROUND(CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks), 6) AS s6
+      FROM t WHERE LEN(toks) > 0
+    ),
+    thr AS (SELECT ROUND(QUANTILE_CONT(s6, 0.2), 6) AS thr FROM s)
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN s6 >= (SELECT thr FROM thr)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MIN(CASE WHEN s6 >= (SELECT thr FROM thr) THEN s6 END), 6)
+             AS min_kept_score,
+           (SELECT thr FROM thr) AS threshold
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def quality_threshold_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL-quantile quality pruning — 'drop the bottom 20% by score',
+    the corpus-relative filter every curation recipe applies after
+    per-document scoring (absolute thresholds like
+    `quality_filter_verdicts` drift as the corpus mix shifts; a
+    quantile threshold self-calibrates). Score = distinct-token ratio
+    (the Gopher repetition signal); threshold = the exact interpolated
+    20th percentile over the WHOLE corpus (Spark `percentile` == DuckDB
+    `quantile_cont`, rounded to 6dp to absorb last-ulp interpolation
+    drift — the `exact_percentiles` contract); keep-or-drop compares
+    the 6dp-rounded score against the 6dp-rounded threshold so the
+    boundary row set is bit-identical cross-engine.
+
+    Scale design: scoring is scan-stage; the threshold is ONE
+    aggregate reduced to a single row and broadcast back onto the scan
+    (tiny-anchor join, no corpus shuffle for the filter); the audit is
+    one per-lang groupBy. The exact percentile buffers values by
+    design here (the yardstick, same stance as `exact_percentiles`);
+    the 100 TB swap is one line — `percentile_approx`, the plan-pinned
+    bounded-memory path of `approx_percentiles_sketch_only`."""
+    d = table_par(spark, sf_dir, "documents").withColumn("toks", TX.tokens("text"))
+    s6 = F.round(
+        F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 6
+    )
+    s = d.filter(F.size("toks") > 0).select("doc_id", "lang", s6.alias("s6"))
+    thr = s.agg(F.round(F.percentile("s6", F.lit(0.2)), 6).alias("threshold"))
+    kept_score = F.when(F.col("s6") >= F.col("threshold"), F.col("s6"))
+    return (
+        s.join(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("s6") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.round(F.min(kept_score), 6).alias("min_kept_score"),
+            F.min("threshold").alias("threshold"),
+        )
+        .orderBy("lang")
+    )
