@@ -68,11 +68,23 @@ def probe_media(payload: bytes) -> tuple[str, int | None, int | None, int | None
     public PNG/GIF/BMP/JPEG/WAV layouts, no codec libraries:
 
     returns (format, width, height, duration_ms); raises ValueError for
-    unrecognized bytes. Pixel/sample DECODING stays out of scope in this
-    image (that part needs PIL/ffmpeg); header-level decode — the part a
-    curation pipeline actually filters on (dimensions, duration) — is
-    real.
+    unrecognized OR malformed bytes — ValueError is the SINGLE failure
+    type (tests/test_corrupt_media.py), so every mapInPandas consumer
+    can quarantine bad items with one except clause instead of dying on
+    a struct.error mid-task. Pixel/sample DECODING stays out of scope in
+    this image (that part needs PIL/ffmpeg); header-level decode — the
+    part a curation pipeline actually filters on (dimensions, duration)
+    — is real.
     """
+    try:
+        return _probe_media_unsafe(payload)
+    except struct.error as e:  # truncated container past a magic match
+        raise ValueError(f"truncated container: {e}") from e
+
+
+def _probe_media_unsafe(
+    payload: bytes,
+) -> tuple[str, int | None, int | None, int | None]:
     if payload is None or len(payload) < 12:
         raise ValueError("payload too short")
     # PNG: 8-byte signature, then IHDR chunk: len(4) 'IHDR' w(be32) h(be32)
@@ -306,7 +318,19 @@ def audio_window_features(df: DataFrame) -> DataFrame:
                 "peak": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                pcm = np.frombuffer(payload, dtype="<i2", offset=WAV_HEADER_LEN)
+                # quarantine-by-omission (the resize/sample_frames
+                # stance): a NULL / truncated / odd-length payload
+                # yields zero windows instead of a task-killing
+                # frombuffer error (tests/test_corrupt_media.py)
+                if payload is None or len(payload) < WAV_HEADER_LEN + 2:
+                    continue
+                n_pcm_bytes = (len(payload) - WAV_HEADER_LEN) // 2 * 2
+                pcm = np.frombuffer(
+                    payload,
+                    dtype="<i2",
+                    offset=WAV_HEADER_LEN,
+                    count=n_pcm_bytes // 2,
+                )
                 n_win = len(pcm) // AUDIO_WINDOW
                 w = (
                     pcm[: n_win * AUDIO_WINDOW]
@@ -378,8 +402,10 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     """Real pixel decode (numpy only): returns (h, w, 3) RGB top-down."""
     import numpy as np
 
-    if payload[:2] != b"BM":
+    if payload is None or payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < BMP_HEADER_LEN:
+        raise ValueError("truncated BMP header")
     offset = struct.unpack_from("<I", payload, 10)[0]
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
@@ -421,13 +447,17 @@ def pack_video(media_id: int, n_frames: int, w: int, h: int) -> bytes:
 
 def iter_video_frames(payload: bytes):
     """Yield (frame_index, bmp_bytes) from the VID0 container."""
-    if payload[:4] != VIDEO_MAGIC:
+    if payload is None or len(payload) < 8 or payload[:4] != VIDEO_MAGIC:
         raise ValueError("not a VID0 container")
     (n,) = struct.unpack_from("<I", payload, 4)
     off = 8
     for f in range(n):
+        if off + 4 > len(payload):
+            raise ValueError("truncated VID0 frame table")
         (flen,) = struct.unpack_from("<I", payload, off)
         off += 4
+        if off + flen > len(payload):
+            raise ValueError("truncated VID0 frame body")
         yield f, payload[off : off + flen]
         off += flen
 
@@ -502,11 +532,13 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     off, idat, w, h = 8, b"", None, None
     while off + 12 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, off)
+        if off + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
         tag = payload[off + 4 : off + 8]
         data = payload[off + 8 : off + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
@@ -525,7 +557,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
         off += 12 + ln
     if w is None:
         raise ValueError("PNG without IHDR")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:  # corrupt deflate stream -> the ONE failure type
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     bpp, stride = 3, w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
