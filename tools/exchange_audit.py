@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Exchange-volume audit: MEASURED shuffle traffic per headline query.
+
+SCALE.md makes claims like "the dedup shuffle carries 32-byte digests,
+never bodies" and "assignment is one narrow (vec_id, cid) exchange".
+This tool turns those claims into numbers: it executes each bench
+headline query, walks the AQE FINAL plan (including query stages,
+reused exchanges, and persisted/cached subtrees), and reports every
+exchange's record count, in-memory dataSize, and shuffle bytes written
+— plus bytes/record, the width that decides whether a shuffle survives
+a 100x scale-up.
+
+Exchange classes:
+- hash/range exchanges: the engine's real data movement — the audit
+  subject;
+- ROUND-ROBIN exchanges: the `table_par` single-row-group testdata
+  workaround (io.py) — reported separately because on a real cluster
+  the guard disables them (input splits already exceed parallelism);
+- broadcast exchanges: dataSize only (they ship a small side to every
+  executor; the interesting number is that it stays small).
+
+Usage: python tools/exchange_audit.py [sf_dir] [name_filter_regex]
+Writes exchange_audit.json next to this file and prints a table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _metrics(node) -> dict[str, int]:
+    m = node.metrics()
+    it = m.iterator()
+    vals: dict[str, int] = {}
+    while it.hasNext():
+        kv = it.next()
+        vals[kv._1()] = kv._2().value()
+    return vals
+
+
+def _walk(node, out: dict, seen: set) -> None:
+    name = node.getClass().getSimpleName()
+    if name == "ReusedExchangeExec":
+        return  # metrics live on (and are counted at) the original
+    if name.endswith("QueryStageExec"):
+        # Shuffle/Broadcast/Result/TableCache stages wrap their plan
+        inner = node.plan() if hasattr(node, "plan") else None
+        if inner is not None:
+            _walk(inner, out, seen)
+        return
+    if name == "InMemoryTableScanExec":
+        # persisted subtree: its exchanges ran when the cache
+        # materialized; traverse the cached plan (dedup by identity so
+        # two scans of one cache count its exchanges once)
+        try:
+            cached = node.relation().cachedPlan()
+            key = cached.hashCode()
+            if key not in seen:
+                seen.add(key)
+                _walk(cached, out, seen)
+        except Exception:
+            out["unwalked_caches"] = out.get("unwalked_caches", 0) + 1
+        return
+    if name == "ShuffleExchangeExec":
+        v = _metrics(node)
+        part = node.outputPartitioning().toString()
+        if "RoundRobinPartitioning" in part:
+            kind = "roundrobin"
+        elif "RangePartitioning" in part:
+            kind = "range"  # presentation orderBy, not a data-movement claim
+        else:
+            kind = "hash"
+        key = node.hashCode()
+        if key not in seen:
+            seen.add(key)
+            out.setdefault(kind, []).append(
+                {
+                    "records": v.get("shuffleRecordsWritten", 0),
+                    "data_bytes": v.get("dataSize", 0),
+                    "written_bytes": v.get("shuffleBytesWritten", 0),
+                }
+            )
+    elif name == "BroadcastExchangeExec":
+        v = _metrics(node)
+        key = node.hashCode()
+        if key not in seen:
+            seen.add(key)
+            out.setdefault("broadcast", []).append(
+                {"records": v.get("numOutputRows", 0), "data_bytes": v.get("dataSize", 0)}
+            )
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk(ch.apply(i), out, seen)
+
+
+def audit_query(df) -> dict:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    out: dict = {}
+    _walk(plan, out, set())
+    return out
+
+
+def main() -> int:
+    from bench import HEADLINE
+    from transit_feed_etl_spark.caching import release_caches
+    from transit_feed_etl_spark.queries import QUERIES
+    from transit_feed_etl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    pat = re.compile(sys.argv[2]) if len(sys.argv) > 2 else None
+    spark = get_spark()
+    results: dict[str, dict] = {}
+    for name in HEADLINE:
+        if pat and not pat.search(name):
+            continue
+        try:
+            ex = audit_query(QUERIES[name].builder(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — audit everything it can
+            results[name] = {"error": str(e)[:160]}
+            continue
+        finally:
+            release_caches()
+            spark.catalog.clearCache()
+        hashes = ex.get("hash", [])
+        rr = ex.get("roundrobin", [])
+        rng = ex.get("range", [])
+        bc = ex.get("broadcast", [])
+        rec = sum(e["records"] for e in hashes)
+        byt = sum(e["data_bytes"] for e in hashes)
+        results[name] = {
+            "hash_exchanges": len(hashes),
+            "hash_records": rec,
+            "hash_data_bytes": byt,
+            "hash_bytes_per_record": round(byt / rec, 1) if rec else None,
+            "widest_exchange_bytes": max((e["data_bytes"] for e in hashes), default=0),
+            "testdata_par_exchanges": len(rr),
+            "testdata_par_bytes": sum(e["data_bytes"] for e in rr),
+            "range_exchanges": len(rng),
+            "range_bytes": sum(e["data_bytes"] for e in rng),
+            "broadcasts": len(bc),
+            "broadcast_bytes": sum(e["data_bytes"] for e in bc),
+            **(
+                {"unwalked_caches": ex["unwalked_caches"]}
+                if ex.get("unwalked_caches")
+                else {}
+            ),
+        }
+        r = results[name]
+        print(
+            f"{name:34} hashX={r['hash_exchanges']:2} rec={r['hash_records']:>9,}"
+            f" bytes={r['hash_data_bytes']:>12,} B/rec={r['hash_bytes_per_record']}"
+            f" par={r['testdata_par_bytes']:>11,} bcast={r['broadcast_bytes']:>10,}",
+            flush=True,
+        )
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "exchange_audit.json")
+    with open(path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "queries": results}, f, indent=1, sort_keys=True)
+    print(f"wrote {os.path.normpath(path)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
