@@ -160,7 +160,18 @@ def main() -> int:
     for _, scaled in selected:
         for t, cols in scaled.items():
             need[t] = sorted(set(need.get(t, [])) | set(cols))
-    if pat is None or pat.search("semdedup_prune[cells=16k]"):
+    # the built-in (non-PROBES) sections below scale embeddings too —
+    # trigger on EVERY such section's name. Round-8 postmortem: the
+    # original single-name check missed "semdedup_sampled", so a
+    # filtered run built corpora with need={} (UNSCALED embeddings) and
+    # measured cell-count growth on a constant 50k-vector corpus — the
+    # retracted "flat 0.98x" row in SCALE.md. Any future built-in
+    # section must add its name here or scale nothing.
+    _BUILTIN_EMBEDDING_SECTIONS = (
+        "semdedup_prune[cells=16k]",
+        "semdedup_sampled[cells=16k,sample=const]",
+    )
+    if pat is None or any(pat.search(n) for n in _BUILTIN_EMBEDDING_SECTIONS):
         need["embeddings"] = sorted(set(need.get("embeddings", [])) | {"vec_id"})
     dirs = {k: build_dir(spark, k, need) for k in ks}
     print(f"built {len(dirs)} scaled dirs: {sorted(dirs.values())}", flush=True)
