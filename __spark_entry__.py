@@ -206,21 +206,10 @@ PRIORITY: tuple[str, ...] = (
 # fixes from the zero-variance sweep) were all re-attested green in
 # CORRECTNESS_r07 and pruned at round-8 start.
 #
-# Round 8: the control-whitespace sweep (tests/test_ctrlws_parity.py)
-# found that Java \s includes \x0B where RE2 (DuckDB) \s does not, so
-# every \s-based regex was repinned to the explicit portable class
-# [ \t\n\x0B\f\r] on BOTH engines — identical output on driver corpora
-# (locally re-verified green at sf0.01), but the seven consumers of the
-# changed regexes need fresh attesting rows.
-FORCE_RECHECK: dict[str, int] = {
-    "text_token_stats": 8,
-    "doc_fingerprints": 8,
-    "doc_quality_scores": 8,
-    "dedup_normalized": 8,
-    "cross_split_contamination": 8,
-    "curation_pipeline_stats": 8,
-    "perceptron_quality_classifier": 8,
-}
+# Round 8's seven entries (consumers of the \s -> [ \t\n\x0B\f\r]
+# portable-whitespace repin from the control-whitespace sweep) were all
+# re-attested green in CORRECTNESS_r08 and pruned at round-9 start.
+FORCE_RECHECK: dict[str, int] = {}
 
 
 def _effective_green(
