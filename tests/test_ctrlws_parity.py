@@ -104,15 +104,24 @@ def test_no_bare_whitespace_shorthand_in_regexes():
     Java and RE2 disagree on VT, so the portable class
     (``textfns.WS``) is mandatory. ``sources/formats.py`` is exempt:
     its log-line regex runs Spark-side only (no DuckDB mirror)."""
+    from transit_feed_etl_spark.operators.textfns import WS
+
     root = pathlib.Path(__file__).resolve().parent.parent / "transit_feed_etl_spark"
+    # Exempt ONLY the exact portable-class token, in both source
+    # spellings (raw-string and doubled-for-SQL) — stripping it before
+    # the search means a line that mixes the portable class with a
+    # SEPARATE bare \s still trips the guard (ADVICE r8: the old
+    # whole-line 'x0B' skip waved such lines through).
+    ws_forms = (WS, WS.replace("\\", "\\\\"))
     offenders = []
     for p in sorted(root.rglob("*.py")):
         if p.name == "formats.py":
             continue
         for i, line in enumerate(p.read_text().splitlines(), 1):
             code = line.split("#", 1)[0]
-            # match \s (raw-string regexes) and \\s (SQL string regexes),
-            # not the \\x0B escapes of the portable class itself
-            if re.search(r"\\\\?s(?![a-zA-Z])", code) and "x0B" not in code:
+            for form in ws_forms:
+                code = code.replace(form, "")
+            # match \s (raw-string regexes) and \\s (SQL string regexes)
+            if re.search(r"\\\\?s(?![a-zA-Z])", code):
                 offenders.append(f"{p.name}:{i}: {line.strip()[:80]}")
     assert not offenders, offenders

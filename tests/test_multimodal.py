@@ -101,6 +101,13 @@ def test_probe_media_real_formats():
         probe_media(b"\x00" * 64)
     with _pytest.raises(ValueError):
         probe_media(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # jpeg, no SOF
+    # seg_len < 2 is invalid per spec (the length field includes its
+    # own 2 bytes); the walk must bail with ValueError instead of
+    # creeping 2 bytes/iteration across the payload (ADVICE r8) —
+    # asserted on a dense-0xFF garbage body where the old walk did
+    # tens of thousands of iterations before falling off the end
+    with _pytest.raises(ValueError):
+        probe_media(b"\xff\xd8" + b"\xff\xe1\x00\x00" + b"\xff" * 65536)
 
 
 def test_pack_wav_is_byte_level_valid_container():

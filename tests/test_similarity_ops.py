@@ -163,20 +163,20 @@ def test_kmeans_centroids_converge_to_cluster_means(spark, clustered):
     assert after > before + 0.05, (before, after)
 
 
-def test_two_level_routing_mostly_agrees_with_flat_argmax(spark, clustered):
+def test_hier_routing_mostly_agrees_with_flat_argmax(spark, clustered):
     """The coarse quantizer is an approximation with a bounded miss
     mode: routing differs from the flat argmax only for vectors whose
-    nearest centroid lives in a DIFFERENT super-cell than their nearest
-    super-centroid (super-cell boundary points). On clustered data the
-    two assignments must agree for the bulk of the corpus (measured
-    0.865 at seed 7; asserted with margin)."""
+    nearest centroid lives in a DIFFERENT branch of the hierarchy than
+    the one they descend (boundary points). On clustered data the two
+    assignments must agree for the bulk of the corpus (measured 0.865
+    at seed 7; asserted with margin)."""
     from pyspark.sql import functions as F
 
     from transit_feed_etl_spark.caching import release_caches
     from transit_feed_etl_spark.queries.similarity import (
         _ivf_assign,
+        hier_assign,
         kmeans_train,
-        two_level_assign,
     )
 
     df, _ = clustered
@@ -185,13 +185,39 @@ def test_two_level_routing_mostly_agrees_with_flat_argmax(spark, clustered):
     flat = {r["vec_id"]: r["cid"] for r in _ivf_assign(df, cent, 1).collect()}
     two = {
         r["vec_id"]: r["cell"]
-        for r in two_level_assign(df, cent, n_super=4, seed_below=16).collect()
+        for r in hier_assign(df, cent, n_cells=16).collect()
     }
     release_caches()
     cent.unpersist()
     assert set(two) == set(flat)  # every vector routed exactly once
     agree = sum(flat[k] == two[k] for k in flat) / len(flat)
     assert agree >= 0.75, agree
+
+
+def test_hier_routing_deep_hierarchy_covers_corpus(spark, clustered):
+    """With cells > branch² the hierarchy gains a third level (sizes
+    64 → 16 → 4); the scale contract is that deeper routing still
+    assigns every vector exactly once and lands it on a REAL trained
+    centroid — the shape tools/scale_probe.py exercises when cells
+    grow ∝ corpus."""
+    from pyspark.sql import functions as F
+
+    from transit_feed_etl_spark.caching import release_caches
+    from transit_feed_etl_spark.queries.similarity import (
+        hier_assign,
+        kmeans_train,
+    )
+
+    df, _ = clustered
+    samp = df.filter(F.col("vec_id") % 4 == 0)
+    cent = kmeans_train(samp, iters=1, n_cells=64, seed_below=256).persist()
+    cids = {r["cid"] for r in cent.select("cid").collect()}
+    routed = hier_assign(df, cent, n_cells=64, branch=4).collect()
+    release_caches()
+    cent.unpersist()
+    n = df.count()
+    assert len(routed) == n and len({r["vec_id"] for r in routed}) == n
+    assert {r["cell"] for r in routed} <= cids
 
 
 def test_sampled_semdedup_prunes_planted_exact_duplicates(spark, clustered):

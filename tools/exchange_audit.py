@@ -43,15 +43,33 @@ def _metrics(node) -> dict[str, int]:
     return vals
 
 
-def _walk(node, out: dict, seen: set) -> None:
+def _identity(jvm, node) -> int:
+    """JVM identity of a plan node. Spark plan nodes are case classes
+    whose hashCode() is STRUCTURAL, so two distinct-but-equal exchanges
+    that AQE did not fold into a ReusedExchangeExec would dedup to one
+    and undercount shuffle traffic (ADVICE r8). Identity hash counts
+    each physical node once and only once."""
+    return jvm.System.identityHashCode(node)
+
+
+def _walk(node, out: dict, seen: dict, jvm) -> None:
     name = node.getClass().getSimpleName()
     if name == "ReusedExchangeExec":
         return  # metrics live on (and are counted at) the original
+    if name == "AdaptiveSparkPlanExec":
+        # AQE wrapper has NO children (initial/executed plans are
+        # fields) — a cached subtree's cachedPlan() is exactly this
+        # node, so without descending into executedPlan() every
+        # exchange under a persist() was silently uncounted (found in
+        # round 9 while auditing the Lloyd partial aggregates; the r8
+        # artifact undercounted cached subtrees).
+        _walk(node.executedPlan(), out, seen, jvm)
+        return
     if name.endswith("QueryStageExec"):
         # Shuffle/Broadcast/Result/TableCache stages wrap their plan
         inner = node.plan() if hasattr(node, "plan") else None
         if inner is not None:
-            _walk(inner, out, seen)
+            _walk(inner, out, seen, jvm)
         return
     if name == "InMemoryTableScanExec":
         # persisted subtree: its exchanges ran when the cache
@@ -59,10 +77,10 @@ def _walk(node, out: dict, seen: set) -> None:
         # two scans of one cache count its exchanges once)
         try:
             cached = node.relation().cachedPlan()
-            key = cached.hashCode()
-            if key not in seen:
-                seen.add(key)
-                _walk(cached, out, seen)
+            key = _identity(jvm, cached)
+            if key not in seen["cache"]:
+                seen["cache"].add(key)
+                _walk(cached, out, seen, jvm)
         except Exception:
             out["unwalked_caches"] = out.get("unwalked_caches", 0) + 1
         return
@@ -75,9 +93,9 @@ def _walk(node, out: dict, seen: set) -> None:
             kind = "range"  # presentation orderBy, not a data-movement claim
         else:
             kind = "hash"
-        key = node.hashCode()
-        if key not in seen:
-            seen.add(key)
+        key = _identity(jvm, node)
+        if key not in seen["shuffle"]:
+            seen["shuffle"].add(key)
             out.setdefault(kind, []).append(
                 {
                     "records": v.get("shuffleRecordsWritten", 0),
@@ -87,15 +105,15 @@ def _walk(node, out: dict, seen: set) -> None:
             )
     elif name == "BroadcastExchangeExec":
         v = _metrics(node)
-        key = node.hashCode()
-        if key not in seen:
-            seen.add(key)
+        key = _identity(jvm, node)
+        if key not in seen["broadcast"]:
+            seen["broadcast"].add(key)
             out.setdefault("broadcast", []).append(
                 {"records": v.get("numOutputRows", 0), "data_bytes": v.get("dataSize", 0)}
             )
     ch = node.children()
     for i in range(ch.size()):
-        _walk(ch.apply(i), out, seen)
+        _walk(ch.apply(i), out, seen, jvm)
 
 
 def audit_query(df) -> dict:
@@ -104,7 +122,10 @@ def audit_query(df) -> dict:
     if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
         plan = plan.executedPlan()
     out: dict = {}
-    _walk(plan, out, set())
+    # separate seen-sets per node kind: a cross-kind identity-hash
+    # collision must never suppress a node (ADVICE r8)
+    seen = {"shuffle": set(), "broadcast": set(), "cache": set()}
+    _walk(plan, out, seen, df.sparkSession._jvm)
     return out
 
 

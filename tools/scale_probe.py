@@ -204,18 +204,19 @@ def main() -> int:
         results[name][k] = best
         print(f"  {name} x{k}: {best:.2f}s ({n} rows)", flush=True)
 
-    # The r8 production plan under the SAME sizing rule: Lloyd trains on
+    # The production plan under the SAME sizing rule: Lloyd trains on
     # a FIXED-size sample (mod ∝ k keeps |sample| constant while cells
-    # ∝ k), assignment routes through n_super ∝ sqrt(cells) super-cells.
-    # Full training is iters x n x cells ∝ n² under cells ∝ n (the
-    # rising per-doubling curve measured above); this one should flatten.
-    import math
-
+    # ∝ k), assignment routes through the hierarchical quantizer whose
+    # depth grows as log_branch(cells) — per-vector work O(branch·depth)
+    # instead of the r9-retired two-level shape's O(√cells) (the
+    # measured 4.5x last doubling at x32, VERDICT r8 item 3). Full
+    # training is iters x n x cells ∝ n² under cells ∝ n (the rising
+    # per-doubling curve measured above); this one should flatten to
+    # ~n·log n.
     name = "semdedup_sampled[cells=16k,sample=const]"
     results[name] = {}
     for k in ks if (pat is None or pat.search(name)) else []:
         n_cells, mod = 16 * k, 4 * k
-        n_super = 4 * max(1, int(math.isqrt(k)))
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
@@ -223,7 +224,7 @@ def main() -> int:
                 "vec_id", VV.as_double("embedding").alias("v")
             )
             n = semdedup_pairs_sampled(
-                v, n_cells=n_cells, sample_mod=mod, n_super=n_super
+                v, n_cells=n_cells, sample_mod=mod
             ).count()
             best = min(best, time.monotonic() - t0)
             release_caches()

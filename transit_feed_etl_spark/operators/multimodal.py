@@ -104,6 +104,12 @@ def _probe_media_unsafe(
         i = 2
         while i + 4 <= len(payload) and payload[i] == 0xFF:
             marker, seg_len = payload[i + 1], struct.unpack_from(">H", payload, i + 2)[0]
+            if seg_len < 2:
+                # the JPEG length field includes its own 2 bytes, so
+                # <2 is invalid per spec; bail instead of creeping 2
+                # bytes at a time across a garbage payload (ADVICE r8:
+                # O(n) adversarial slowdown on dense-0xFF input)
+                raise ValueError("jpeg segment with invalid length")
             if marker in (0xC0, 0xC2) and i + 9 <= len(payload):
                 h, w = struct.unpack_from(">HH", payload, i + 5)
                 return "jpeg", w, h, None
