@@ -46,6 +46,7 @@ HEADLINE = (
     "doc_repetition_scores",     # cleaning: Gopher-style repetition signals
     "chunk_documents",           # cleaning: context-window chunking
     "point_in_time_state_join",  # temporal fact->SCD2 dimension lookup
+    "html_boilerplate_extract",  # crawl stage: map-only tag/entity strip (r9)
     "equidepth_deciles",         # distributed exact global ranking
     "curation_pipeline_stats",   # flagship: gate -> dedup -> split in one plan
     "q17_small_quantity_revenue",  # correlated avg as single-exchange window

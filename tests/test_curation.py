@@ -124,3 +124,21 @@ def test_compression_ratio_matches_python_zlib_replay(spark):
     rep = len(zlib.compress(b"the same line over and over " * 100, 6))
     rep_ratio = rep * 1_000_000 // (28 * 100)
     assert rep_ratio < median
+
+
+def test_html_extraction_roundtrips_every_document(spark, sf_dir):
+    """Value contract for html_boilerplate_extract beyond the
+    differential oracle: on the driver corpus EVERY row must certify
+    roundtrip_ok (extraction recovered exactly the whitespace-collapsed
+    original text — no content eaten with the boilerplate), and the
+    removed share must be a sane percentage (shells add real
+    boilerplate, so > 0; never the whole page when text is non-empty)."""
+    from transit_feed_etl_spark.queries import QUERIES
+
+    rows = QUERIES["html_boilerplate_extract"].builder(spark, sf_dir).collect()
+    assert rows and all(r["roundtrip_ok"] for r in rows)
+    for r in rows:
+        assert 0 < r["boilerplate_pct"] <= 100
+        assert r["text_chars"] + r["boilerplate_pct"] >= 0  # schema sanity
+        if r["text_chars"] > 0:
+            assert r["boilerplate_pct"] < 100

@@ -65,6 +65,11 @@ SWEEP_QUERIES = (
     "array_functions",
     # r8: global-quantile pruning consumes the token-uniqueness score
     "quality_threshold_prune",
+    # r9: HTML boilerplate extraction wraps the raw text in page shells
+    # and must recover it exactly (roundtrip_ok) — NULL text, control
+    # whitespace (HTML is where control characters actually live) and
+    # unicode all ride through the portable-WS collapse
+    "html_boilerplate_extract",
 )
 
 

@@ -911,3 +911,13 @@ def test_url_canonical_dedup_single_exchange_scan_stage_canon(spark):
     # doc_id filter pushed to the parquet scan, which reads ONLY doc_id
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,400)]" in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_html_boilerplate_extract_map_only(spark):
+    """The crawl decode stage is pure map, like pii_redaction: the whole
+    shell-build -> block-drop -> main/body extract -> tag-strip ->
+    entity-decode -> WS-collapse pipeline runs in the scan stage with
+    ZERO hash exchanges; the presentation orderBy's range exchange is
+    the only data movement."""
+    plan = _final_plan(QUERIES["html_boilerplate_extract"].builder(spark, SF))
+    assert plan.count("hashpartitioning") == 0, plan

@@ -713,3 +713,189 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_doc_id")
     )
+
+
+# Three deterministic page shells keyed by doc_id % 3, wrapping each
+# document's REAL text: (0) full page with <main>, head script/style,
+# nav and footer; (1) no <main> (body-path fallback) with an in-body
+# tracking script and a visible &amp; entity token; (2) doubled style
+# blocks, an HTML comment ad slot, and &nbsp; padding around the text.
+# The shells are mirrored verbatim in the SQL oracle below.
+_HTML_SHELL_SQL = """
+      CASE doc_id % 3
+        WHEN 0 THEN '<!DOCTYPE html><html><head><title>Doc '
+          || CAST(doc_id AS VARCHAR)
+          || '</title><style>body{font:12px}</style>'
+          || '<script>var a=1;</script></head><body>'
+          || '<nav><a href="/">home</a> <a href="/s">s</a></nav>'
+          || '<main><p>' || COALESCE(text, '') || '</p></main>'
+          || '<footer>&copy; corp</footer></body></html>'
+        WHEN 1 THEN '<html><head><script type="text/javascript">'
+          || 'track();</script></head><body><nav>' || chr(9)
+          || 'menu</nav><div id="c"><p>&amp;</p><p>'
+          || COALESCE(text, '') || '</p></div>'
+          || '<script>late()</script><footer>x</footer></body></html>'
+        ELSE '<html><head><style>.a{color:red}</style>'
+          || '<style>.b{color:blue}</style></head><body><nav>n</nav>'
+          || '<main><!-- ad slot --><p>&nbsp;' || COALESCE(text, '')
+          || '&nbsp;</p></main><footer>f</footer></body></html>'
+      END
+"""
+
+_HTML_EXTRACT_SQL = f"""
+    WITH pages AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INT) AS variant,
+             COALESCE(text, '') AS raw_text,
+             {_HTML_SHELL_SQL} AS page
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, variant, raw_text, page,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(page,
+                 '(?s)<script.*?</script>', ' ', 'g'),
+                 '(?s)<style.*?</style>', ' ', 'g'),
+                 '(?s)<nav.*?</nav>', ' ', 'g'),
+                 '(?s)<footer.*?</footer>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g') AS s
+      FROM pages
+    ),
+    content AS (
+      SELECT doc_id, variant, raw_text, page,
+             CASE WHEN regexp_extract(s, '(?s)<main[^>]*>(.*?)</main>', 1) <> ''
+                  THEN regexp_extract(s, '(?s)<main[^>]*>(.*?)</main>', 1)
+                  ELSE regexp_extract(s, '(?s)<body[^>]*>(.*?)</body>', 1)
+             END AS inner_html
+      FROM stripped
+    ),
+    extracted AS (
+      SELECT doc_id, variant, raw_text, page,
+             trim(regexp_replace(
+               replace(replace(replace(replace(
+                 regexp_replace(inner_html, '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS main_text
+      FROM content
+    )
+    SELECT doc_id, variant, main_text,
+           CAST(length(page) AS BIGINT) AS html_chars,
+           CAST(length(main_text) AS BIGINT) AS text_chars,
+           CAST(FLOOR((length(page) - length(main_text)) * 100.0
+                      / length(page)) AS INT) AS boilerplate_pct,
+           main_text = (
+             CASE WHEN variant = 1 THEN
+               CASE WHEN trim(regexp_replace(raw_text,
+                      '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) = '' THEN '&'
+                    ELSE '& ' || trim(regexp_replace(raw_text,
+                      '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+               END
+             ELSE trim(regexp_replace(raw_text,
+                    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+             END
+           ) AS roundtrip_ok
+    FROM extracted
+    ORDER BY doc_id
+"""
+
+
+@register("html_boilerplate_extract", oracle=_HTML_EXTRACT_SQL)
+def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal + main-content extraction — the standard
+    crawl-curation stage between the `url_canonical_dedup` front door
+    and the text-quality scorers (VERDICT r8 "What's missing" #3): raw
+    crawl payloads are HTML; every real pipeline strips
+    script/style/nav/footer/comment blocks, prefers the <main> region
+    (falling back to <body>), strips the remaining tags, decodes the
+    common entities, and collapses whitespace BEFORE
+    `text_token_stats` / `doc_quality_scores` ever run. The portable
+    regexp core (trafilatura-style heuristics reduced to the
+    Java/RE2-agreeing subset: dotall non-greedy block drops, tag strip,
+    the pinned `textfns.WS` whitespace class) runs identically on both
+    engines.
+
+    Each document's REAL text is wrapped in one of three deterministic
+    page shells (see `_HTML_SHELL_SQL`), so the in-plan `roundtrip_ok`
+    column certifies per row that extraction recovered EXACTLY the
+    whitespace-collapsed original text (variant 1 prepends its visible
+    decoded '&' token) — the guarantee boolean pattern the sketch
+    oracles use, here proving no content was eaten with the
+    boilerplate. `boilerplate_pct` is the floor'd percent of page bytes
+    removed.
+
+    Scale design: one map-only scan-stage string pipeline — zero
+    shuffles except the presentation orderBy (plan-pinned in
+    tests/test_plan_contracts.py); at 100 TB this is the
+    embarrassingly-parallel decode stage, the same shape as
+    `pii_redaction`."""
+    d = table_par(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    shells = [
+        F.concat(
+            F.lit("<!DOCTYPE html><html><head><title>Doc "), did,
+            F.lit("</title><style>body{font:12px}</style>"),
+            F.lit("<script>var a=1;</script></head><body>"),
+            F.lit('<nav><a href="/">home</a> <a href="/s">s</a></nav>'),
+            F.lit("<main><p>"), raw, F.lit("</p></main>"),
+            F.lit("<footer>&copy; corp</footer></body></html>"),
+        ),
+        F.concat(
+            F.lit('<html><head><script type="text/javascript">'),
+            F.lit("track();</script></head><body><nav>\t"),
+            F.lit('menu</nav><div id="c"><p>&amp;</p><p>'),
+            raw, F.lit("</p></div>"),
+            F.lit("<script>late()</script><footer>x</footer></body></html>"),
+        ),
+        F.concat(
+            F.lit("<html><head><style>.a{color:red}</style>"),
+            F.lit("<style>.b{color:blue}</style></head><body><nav>n</nav>"),
+            F.lit("<main><!-- ad slot --><p>&nbsp;"), raw,
+            F.lit("&nbsp;</p></main><footer>f</footer></body></html>"),
+        ),
+    ]
+    mod = F.col("doc_id") % 3
+    page = (
+        F.when(mod == 0, shells[0]).when(mod == 1, shells[1]).otherwise(shells[2])
+    )
+    s = page
+    for pat in (
+        r"(?s)<script.*?</script>",
+        r"(?s)<style.*?</style>",
+        r"(?s)<nav.*?</nav>",
+        r"(?s)<footer.*?</footer>",
+        r"(?s)<!--.*?-->",
+    ):
+        s = F.regexp_replace(s, pat, " ")
+    main_i = F.regexp_extract(s, r"(?s)<main[^>]*>(.*?)</main>", 1)
+    body_i = F.regexp_extract(s, r"(?s)<body[^>]*>(.*?)</body>", 1)
+    inner = F.when(main_i != "", main_i).otherwise(body_i)
+    detagged = F.regexp_replace(inner, r"<[^>]*>", " ")
+    decoded = detagged
+    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">")):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    main_text = F.trim(F.regexp_replace(decoded, rf"[{TX.WS}]+", " "))
+    collapsed = F.trim(F.regexp_replace(raw, rf"[{TX.WS}]+", " "))
+    expected = F.when(
+        mod == 1,
+        F.when(collapsed == "", F.lit("&")).otherwise(
+            F.concat(F.lit("& "), collapsed)
+        ),
+    ).otherwise(collapsed)
+    return (
+        d.select(
+            "doc_id",
+            mod.cast("int").alias("variant"),
+            main_text.alias("main_text"),
+            F.length(page).cast("bigint").alias("html_chars"),
+            F.length(main_text).cast("bigint").alias("text_chars"),
+            F.floor(
+                (F.length(page) - F.length(main_text))
+                * 100.0
+                / F.length(page)
+            )
+            .cast("int")
+            .alias("boilerplate_pct"),
+            (main_text == expected).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )
