@@ -35,8 +35,13 @@ def test_green_rows_within_staleness_budget_after_round_8():
         return
     stale = {
         n: f"r{rnd} ({age} rounds ago)"
-        for n, (rnd, age, _) in table.items()
-        if age > BUDGET
+        for n, (rnd, age, s) in table.items()
+        # a post-closure registration awaiting its FIRST eligible driver
+        # round has no row by design — "pending-first-row" is the
+        # rotation-healthy status, not staleness (its REGISTERED_IN_ROUND
+        # entry expires, and this exemption with it, the moment the first
+        # row lands)
+        if age > BUDGET and s != "pending-first-row"
     }
     assert not stale, stale
 
