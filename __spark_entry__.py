@@ -209,7 +209,19 @@ PRIORITY: tuple[str, ...] = (
 # Round 8's seven entries (consumers of the \s -> [ \t\n\x0B\f\r]
 # portable-whitespace repin from the control-whitespace sweep) were all
 # re-attested green in CORRECTNESS_r08 and pruned at round-9 start.
-FORCE_RECHECK: dict[str, int] = {}
+#
+# Round 9: the k-means training/assignment path was rebuilt (Lloyd
+# per-dim means collapsed to one wide decimal aggregate, join-backs on
+# vec_id replaced by keep-the-vector folds, hier_assign replacing
+# two_level_assign — VERDICT r8 items 3+4). The rewrite is value-
+# identical BY DESIGN and locally re-verified against the unchanged
+# oracles, but the r7/r8 green rows attest the old plan, not this one —
+# every consumer of the rebuilt path needs a fresh r9+ attesting row.
+FORCE_RECHECK: dict[str, int] = {
+    "ivf_kmeans_topk": 9,
+    "semdedup_prune": 9,
+    "semdedup_prune_sampled": 9,
+}
 
 
 def _effective_green(

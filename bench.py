@@ -47,6 +47,9 @@ HEADLINE = (
     "chunk_documents",           # cleaning: context-window chunking
     "point_in_time_state_join",  # temporal fact->SCD2 dimension lookup
     "html_boilerplate_extract",  # crawl stage: map-only tag/entity strip (r9)
+    "line_dedup_across_docs",    # C4-style cross-doc repeated-line removal (r9)
+    "doc_bigram_logprob",        # bigram-LM perplexity-proxy scoring (r9)
+    "domain_doc_stats",          # registered-domain share accounting (r9)
     "equidepth_deciles",         # distributed exact global ranking
     "curation_pipeline_stats",   # flagship: gate -> dedup -> split in one plan
     "q17_small_quantity_revenue",  # correlated avg as single-exchange window
@@ -68,26 +71,40 @@ HEADLINE = (
 )
 
 
-def _sidecar_medians(anchor: dict, sf: float) -> dict[str, float]:
-    """Medians from the committed bench_detail.json sidecar, ONLY when it
-    provably describes the same run as the anchor: same sf AND an
-    identical per-query min map (the min map is in both artifacts, so
-    equality ties the sidecar to the anchor's exact run — a stale
-    dev-loop sidecar can never be mistaken for round evidence)."""
-    path = os.path.join(os.path.dirname(__file__) or ".", "bench_detail.json")
-    try:
-        with open(path) as f:
-            detail = json.load(f)
-    except Exception:
-        return {}
-    if (
-        isinstance(detail, dict)
-        and detail.get("sf") == sf
-        and isinstance(detail.get("queries"), dict)
-        and detail.get("queries")  # non-empty: None == None must not match
-        and detail.get("queries") == anchor.get("queries")
-    ):
-        return detail.get("queries_median") or {}
+def _sidecar_medians(
+    anchor: dict, sf: float, anchor_basename: str | None = None
+) -> dict[str, float]:
+    """Medians from a committed sidecar, ONLY when it provably describes
+    the same run as the anchor: same sf AND an identical per-query min
+    map (the min map is in both artifacts, so equality ties the sidecar
+    to the anchor's exact run — a stale dev-loop sidecar can never be
+    mistaken for round evidence).
+
+    Looks at the round-PINNED sidecar (bench_detail_r{N}.json, written
+    by tools/round_start.py the moment a new anchor lands) before the
+    floating bench_detail.json: the floating file is overwritten by
+    every local bench run, and round 9 lost the r8-driver medians
+    exactly that way — a triage run clobbered them before they were
+    committed."""
+    base = os.path.dirname(__file__) or "."
+    names = ["bench_detail.json"]
+    if anchor_basename:
+        # BENCH_r08.json -> bench_detail_r08.json (same round stamp)
+        names.insert(0, anchor_basename.replace("BENCH_", "bench_detail_"))
+    for name in names:
+        try:
+            with open(os.path.join(base, name)) as f:
+                detail = json.load(f)
+        except Exception:
+            continue
+        if (
+            isinstance(detail, dict)
+            and detail.get("sf") == sf
+            and isinstance(detail.get("queries"), dict)
+            and detail.get("queries")  # non-empty: None == None must not match
+            and detail.get("queries") == anchor.get("queries")
+        ):
+            return detail.get("queries_median") or {}
     return {}
 
 
@@ -134,7 +151,9 @@ def _prev_bench(sf: float) -> tuple[dict[str, float], dict[str, float]]:
                 file=sys.stderr,
             )
             continue
-        med = parsed.get("queries_median") or _sidecar_medians(parsed, sf)
+        med = parsed.get("queries_median") or _sidecar_medians(
+            parsed, sf, os.path.basename(path)
+        )
         qmap = parsed.get("queries") or {}
         if not qmap and not med:
             continue  # right-sf anchor with no per-query payload: keep scanning
@@ -236,25 +255,7 @@ def main() -> None:
     # likewise. Warn-not-fail overall so the driver still records the
     # JSON line; the gate verdict lands in bench_stderr.txt where the
     # round review reads it.
-    fails: dict[str, str] = {}
-    warns: dict[str, str] = {}
-    for name in HEADLINE:
-        pm = prev_min.get(name, 0)
-        pd = prev_med.get(name, 0)
-        min_bad = pm > 0 and timings[name] > 1.5 * pm
-        med_bad = pd > 0 and medians[name] > 1.5 * pd
-        detail = (
-            f"min {pm:.3f}->{timings[name]:.3f}s"
-            + (f", median {pd:.3f}->{medians[name]:.3f}s" if pd > 0 else "")
-        )
-        if min_bad and (med_bad or pd <= 0):
-            fails[name] = detail  # both signals red (or medians unavailable)
-        elif min_bad or med_bad:
-            warns[name] = detail + (
-                " (median-only: likely one noisy pass)"
-                if med_bad
-                else " (min-only: medians disagree)"
-            )
+    fails, warns = _gate_verdicts(timings, medians, prev_min, prev_med)
     if not prev_min and not prev_med:
         print(
             f"# REGRESSION-GATE SKIP: no previous-round anchor at sf={sf}",
@@ -285,6 +286,43 @@ def main() -> None:
     ) as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(out))
+
+
+def _gate_verdicts(
+    timings: dict[str, float],
+    medians: dict[str, float],
+    prev_min: dict[str, float],
+    prev_med: dict[str, float],
+    threshold: float = 1.5,
+) -> tuple[dict[str, str], dict[str, str]]:
+    """Classify each query against the anchor: FAIL only when it exceeds
+    the threshold on BOTH robust signals (min-to-min AND
+    median-to-median); a single-signal exceedance is a WARN. Rationale
+    (round-9 triage of the four r8 median-mode FAILs): single-shot
+    timings on this box swing up to 3x between sessions on identical
+    code, and one noisy pass out of three moves the median while a REAL
+    plan regression moves the min too. When the anchor carries no
+    medians, a min exceedance alone still FAILs (no second signal exists
+    to clear it)."""
+    fails: dict[str, str] = {}
+    warns: dict[str, str] = {}
+    for name in timings:
+        pm = prev_min.get(name, 0)
+        pd = prev_med.get(name, 0)
+        min_bad = pm > 0 and timings[name] > threshold * pm
+        med_bad = pd > 0 and medians.get(name, 0) > threshold * pd
+        detail = f"min {pm:.3f}->{timings[name]:.3f}s" + (
+            f", median {pd:.3f}->{medians.get(name, 0):.3f}s" if pd > 0 else ""
+        )
+        if min_bad and (med_bad or pd <= 0):
+            fails[name] = detail  # both signals red (or medians unavailable)
+        elif min_bad or med_bad:
+            warns[name] = detail + (
+                " (median-only: likely one noisy pass)"
+                if med_bad
+                else " (min-only: medians disagree)"
+            )
+    return fails, warns
 
 
 def _artifacts(

@@ -13,18 +13,20 @@ import bench
 
 
 def test_prev_bench_matches_only_same_sf():
-    anchored, is_median = bench._prev_bench(0.1)
-    assert anchored, "committed BENCH_r*.json anchor at sf0.1 must load"
-    assert all(isinstance(v, (int, float)) for v in anchored.values())
-    assert isinstance(is_median, bool)
-    assert bench._prev_bench(0.001) == ({}, False)
-    assert bench._prev_bench(1.0) == ({}, False)
+    mins, meds = bench._prev_bench(0.1)
+    assert mins, "committed BENCH_r*.json anchor at sf0.1 must load"
+    assert all(isinstance(v, (int, float)) for v in mins.values())
+    assert isinstance(meds, dict)
+    assert all(isinstance(v, (int, float)) for v in meds.values())
+    assert bench._prev_bench(0.001) == ({}, {})
+    assert bench._prev_bench(1.0) == ({}, {})
 
 
-def test_prev_bench_prefers_median_anchor(tmp_path, monkeypatch):
-    """Once an anchor carries queries_median (round >= 5), the gate must
-    compare median-to-median — never median-vs-min, which double-counts
-    noise."""
+def test_prev_bench_returns_both_signal_maps(tmp_path, monkeypatch):
+    """An anchor carrying queries_median feeds BOTH gate signals
+    (min-to-min and median-to-median — never median-vs-min, which
+    double-counts noise); a min-only anchor leaves the median map
+    empty so the gate fails on the min signal alone."""
     import json
 
     (tmp_path / "BENCH_r09.json").write_text(
@@ -39,12 +41,12 @@ def test_prev_bench_prefers_median_anchor(tmp_path, monkeypatch):
         )
     )
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
-    assert bench._prev_bench(0.1) == ({"q": 1.2}, True)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {"q": 1.2})
     # min-only anchor (rounds 1-4) falls back to min-to-min
     (tmp_path / "BENCH_r09.json").write_text(
         json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 1.0}}})
     )
-    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {})
 
 
 def test_prev_bench_anchor_by_parsed_round(tmp_path, monkeypatch):
@@ -61,9 +63,9 @@ def test_prev_bench_anchor_by_parsed_round(tmp_path, monkeypatch):
         json.dumps({"parsed": {"sf": 0.1, "queries": {"q": 10.0}}})
     )
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
-    assert bench._prev_bench(0.1) == ({"q": 10.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 10.0}, {})
     (tmp_path / "BENCH_r11.json").write_text("{not json")
-    assert bench._prev_bench(0.1) == ({"q": 10.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 10.0}, {})
 
 
 def test_prev_bench_skips_null_parsed_anchor(tmp_path, monkeypatch):
@@ -78,10 +80,10 @@ def test_prev_bench_skips_null_parsed_anchor(tmp_path, monkeypatch):
     )
     (tmp_path / "BENCH_r05.json").write_text(json.dumps({"parsed": None}))
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
-    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, {})
     # empty-dict parsed is equally non-evidence
     (tmp_path / "BENCH_r05.json").write_text(json.dumps({"parsed": {}}))
-    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, {})
 
 
 def test_prev_bench_scans_past_sf_mismatched_anchor(tmp_path, monkeypatch):
@@ -97,9 +99,9 @@ def test_prev_bench_scans_past_sf_mismatched_anchor(tmp_path, monkeypatch):
         json.dumps({"parsed": {"sf": 0.01, "queries": {"q": 0.4}}})
     )
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
-    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, {})
     # and a request at the dev sf finds the dev anchor
-    assert bench._prev_bench(0.01) == ({"q": 0.4}, False)
+    assert bench._prev_bench(0.01) == ({"q": 0.4}, {})
 
 
 def test_prev_bench_promotes_sidecar_medians_only_on_exact_match(
@@ -114,20 +116,20 @@ def test_prev_bench_promotes_sidecar_medians_only_on_exact_match(
     (tmp_path / "BENCH_r06.json").write_text(json.dumps({"parsed": anchor}))
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     # no sidecar -> min gate
-    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {})
     # matching sidecar -> median gate
     (tmp_path / "bench_detail.json").write_text(
         json.dumps({"sf": 0.1, "queries": {"q": 1.0}, "queries_median": {"q": 1.3}})
     )
-    assert bench._prev_bench(0.1) == ({"q": 1.3}, True)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {"q": 1.3})
     # sidecar from a DIFFERENT run (min map differs) -> back to min gate
     (tmp_path / "bench_detail.json").write_text(
         json.dumps({"sf": 0.1, "queries": {"q": 9.9}, "queries_median": {"q": 1.3}})
     )
-    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {})
     # corrupt sidecar is ignored, not fatal
     (tmp_path / "bench_detail.json").write_text("{nope")
-    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {})
 
 
 def test_degraded_median_gate_is_announced(tmp_path, monkeypatch, capsys):
@@ -143,14 +145,14 @@ def test_degraded_median_gate_is_announced(tmp_path, monkeypatch, capsys):
         json.dumps({"sf": 0.1, "queries": {"q": 9.9}, "queries_median": {"q": 1.3}})
     )
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
-    assert bench._prev_bench(0.1) == ({"q": 1.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {})
     err = capsys.readouterr().err
     assert "REGRESSION-GATE NOTE" in err and "min-to-min" in err
     # the median path stays quiet
     (tmp_path / "bench_detail.json").write_text(
         json.dumps({"sf": 0.1, "queries": {"q": 1.0}, "queries_median": {"q": 1.3}})
     )
-    assert bench._prev_bench(0.1) == ({"q": 1.3}, True)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {"q": 1.3})
     assert "NOTE" not in capsys.readouterr().err
 
 
@@ -167,13 +169,13 @@ def test_prev_bench_scans_past_payloadless_anchor(tmp_path, monkeypatch):
         json.dumps({"parsed": {"sf": 0.1, "value": 123}})
     )
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
-    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, {})
     # ...and a payloadless anchor + a sidecar missing its own queries
     # map must not promote unrelated medians via None == None
     (tmp_path / "bench_detail.json").write_text(
         json.dumps({"sf": 0.1, "queries_median": {"q": 9.9}})
     )
-    assert bench._prev_bench(0.1) == ({"q": 4.0}, False)
+    assert bench._prev_bench(0.1) == ({"q": 4.0}, {})
 
 
 def test_stdout_line_fits_driver_capture():
@@ -186,7 +188,11 @@ def test_stdout_line_fits_driver_capture():
     t = {n: 123.456 for n in bench.HEADLINE}
     out, detail = bench._artifacts(t, t, {n: 99.9 for n in t}, 0.1, passes=3)
     line = json.dumps(out)
-    assert len(line) < 1600, len(line)
+    # ~2000 chars observed capture; 44 headline entries at the 7-char
+    # worst-case timing width is ~1600 — keep 100+ chars of headroom and
+    # force a layout decision (shorter names / trimmed payload) before
+    # growth ever reaches the capture limit
+    assert len(line) < 1900, len(line)
     assert out["queries"] == t and "queries_median" not in out
     assert detail["queries_median"] == t and detail["queries_spread_pct"]
 
@@ -196,3 +202,53 @@ def test_headline_queries_all_registered():
 
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, missing
+
+
+def test_gate_verdicts_two_signal_contract():
+    """FAIL requires BOTH signals (min and median) beyond threshold;
+    either alone is a WARN; with no anchor medians the min signal alone
+    fails (round-9 triage of the four r8 median-mode FAILs — one noisy
+    pass moves the median, a real plan regression moves the min too)."""
+    prev_min = {"q": 1.0}
+    prev_med = {"q": 1.0}
+    # both red -> FAIL
+    fails, warns = bench._gate_verdicts({"q": 2.0}, {"q": 2.0}, prev_min, prev_med)
+    assert "q" in fails and not warns
+    # median-only red -> WARN (the r8 failure mode)
+    fails, warns = bench._gate_verdicts({"q": 1.2}, {"q": 2.0}, prev_min, prev_med)
+    assert not fails and "median-only" in warns["q"]
+    # min-only red -> WARN (medians disagree)
+    fails, warns = bench._gate_verdicts({"q": 2.0}, {"q": 1.2}, prev_min, prev_med)
+    assert not fails and "min-only" in warns["q"]
+    # both inside threshold -> clean
+    fails, warns = bench._gate_verdicts({"q": 1.4}, {"q": 1.4}, prev_min, prev_med)
+    assert not fails and not warns
+    # no anchor medians: the min signal alone must still FAIL — a
+    # min-only anchor (rounds 1-4) has no second signal to clear it
+    fails, warns = bench._gate_verdicts({"q": 2.0}, {"q": 2.0}, prev_min, {})
+    assert "q" in fails
+    # unseen query (new registration) is neither FAIL nor WARN
+    fails, warns = bench._gate_verdicts({"new": 9.9}, {"new": 9.9}, prev_min, prev_med)
+    assert not fails and not warns
+
+
+def test_prev_bench_reads_round_pinned_sidecar(tmp_path, monkeypatch):
+    """The round-stamped sidecar (bench_detail_r{N}.json, pinned by
+    tools/round_start.py when the anchor lands) must restore the median
+    signal even after a local bench run overwrites the floating
+    bench_detail.json — the failure mode that lost the r8-driver
+    medians in round 9."""
+    import json
+
+    anchor = {"sf": 0.1, "queries": {"q": 1.0}}
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({"parsed": anchor}))
+    # floating sidecar from a DIFFERENT (local dev) run
+    (tmp_path / "bench_detail.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 9.9}, "queries_median": {"q": 9.9}})
+    )
+    # pinned sidecar from the anchor's run
+    (tmp_path / "bench_detail_r08.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 1.0}, "queries_median": {"q": 1.4}})
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {"q": 1.4})

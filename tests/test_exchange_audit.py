@@ -124,3 +124,30 @@ def test_hier_assign_never_shuffles_corpus_without_broadcasts(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         release_caches()
+
+
+def test_classifier_separates_range_and_single_from_hash(spark):
+    """Partitioning toString is case-inconsistent across kinds
+    (HashPartitioning/RangePartitioning are Expressions and print
+    lowercase; RoundRobinPartitioning/SinglePartition print CamelCase).
+    The r8 classifier matched 'RangePartitioning' literally and never
+    matched — every presentation orderBy landed in the hash
+    (data-movement) population (zero range exchanges across all 44
+    queries in the r8 artifact was the tell). Pin each kind."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 1000, 1, 4)
+    # sort key must not be the range column itself: Catalyst knows
+    # spark.range's output ordering and elides that sort entirely
+    ex = audit_query(base.orderBy((F.col("id") % 7).alias("k")))
+    assert ex.get("range"), ex
+    assert not ex.get("hash"), ex
+    ex = audit_query(base.groupBy((F.col("id") % 7).alias("k")).count())
+    assert ex.get("hash"), ex
+    assert not ex.get("range"), ex
+    ex = audit_query(base.repartition(8))
+    assert ex.get("roundrobin"), ex
+    assert not ex.get("hash"), ex
+    ex = audit_query(base.agg(F.sum("id")))
+    assert ex.get("single"), ex
+    assert not ex.get("hash"), ex

@@ -70,6 +70,10 @@ SWEEP_QUERIES = (
     # whitespace (HTML is where control characters actually live) and
     # unicode all ride through the portable-WS collapse
     "html_boilerplate_extract",
+    # r9: bigram LM scoring and cross-doc line dedup both consume the
+    # token/WS pipelines; NULL text must drop out identically
+    "doc_bigram_logprob",
+    "line_dedup_across_docs",
 )
 
 

@@ -921,3 +921,37 @@ def test_html_boilerplate_extract_map_only(spark):
     the only data movement."""
     plan = _final_plan(QUERIES["html_boilerplate_extract"].builder(spark, SF))
     assert plan.count("hashpartitioning") == 0, plan
+
+
+def test_bigram_logprob_broadcasts_model_single_regroup(spark):
+    """The bigram LM join must reach the pair stream via broadcast
+    (model is vocab²-bounded << corpus); the only corpus-width hash
+    exchange in the final plan is the per-doc regroup — the model-side
+    count exchanges live in the broadcast subtree."""
+    plan = _final_plan(QUERIES["doc_bigram_logprob"].builder(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_broadcast_flags_single_regroup(spark):
+    """The >= K boilerplate set is broadcast back as a LEFT join (the
+    corpus never shuffles to learn its flags); the one corpus-width
+    exchange is the per-doc cleaned-text regroup. The frequency pass's
+    exchanges key on md5 digests inside the broadcast/cached subtrees
+    (width measured by tools/exchange_audit.py)."""
+    plan = _final_plan(QUERIES["line_dedup_across_docs"].builder(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_stats_two_exchanges_scalar_broadcast(spark):
+    """Domain extraction is scan-stage; the countDistinct(host) rewrite
+    gives exactly TWO domain-keyed exchanges; the corpus total reaches
+    the aggregate as a single-row broadcast (nested-loop on one row),
+    never a second corpus pass."""
+    plan = _final_plan(QUERIES["domain_doc_stats"].builder(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -48,6 +48,8 @@ TEXT_QUERIES = (
     "doc_repetition_scores",
     "tfidf_top_terms",
     "quality_threshold_prune",
+    "doc_bigram_logprob",
+    "line_dedup_across_docs",
 )
 
 

@@ -16,6 +16,9 @@ Exchange classes:
 - ROUND-ROBIN exchanges: the `table_par` single-row-group testdata
   workaround (io.py) — reported separately because on a real cluster
   the guard disables them (input splits already exceed parallelism);
+- range exchanges: presentation orderBy — row-width by nature, not a
+  data-movement claim (on a real pipeline the sink drops the sort);
+- single-partition exchanges: scalar/global reductions to one row;
 - broadcast exchanges: dataSize only (they ship a small side to every
   executor; the interesting number is that it stays small).
 
@@ -86,11 +89,22 @@ def _walk(node, out: dict, seen: dict, jvm) -> None:
         return
     if name == "ShuffleExchangeExec":
         v = _metrics(node)
-        part = node.outputPartitioning().toString()
-        if "RoundRobinPartitioning" in part:
+        # Partitioning toString is CASE-INCONSISTENT across kinds:
+        # HashPartitioning/RangePartitioning are Expressions and print
+        # lowercase ("rangepartitioning(doc_id ASC ...)"), while
+        # RoundRobinPartitioning and SinglePartition are plain case
+        # objects and print CamelCase. The r8 classifier matched
+        # "RangePartitioning" literally, so it NEVER matched — every
+        # presentation orderBy was counted as a hash (data-movement)
+        # exchange (zero range exchanges across all 44 queries in the
+        # r8 artifact was the tell; found in round 9).
+        part = node.outputPartitioning().toString().lower()
+        if "roundrobin" in part:
             kind = "roundrobin"
-        elif "RangePartitioning" in part:
+        elif "rangepartitioning" in part:
             kind = "range"  # presentation orderBy, not a data-movement claim
+        elif "singlepartition" in part:
+            kind = "single"  # scalar/global reductions: one tiny partition
         else:
             kind = "hash"
         key = _identity(jvm, node)
@@ -166,6 +180,8 @@ def main() -> int:
             "testdata_par_bytes": sum(e["data_bytes"] for e in rr),
             "range_exchanges": len(rng),
             "range_bytes": sum(e["data_bytes"] for e in rng),
+            "single_exchanges": len(ex.get("single", [])),
+            "single_bytes": sum(e["data_bytes"] for e in ex.get("single", [])),
             "broadcasts": len(bc),
             "broadcast_bytes": sum(e["data_bytes"] for e in bc),
             **(

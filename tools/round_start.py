@@ -52,12 +52,28 @@ def main() -> int:
     if anchors:
         parsed = json.loads(anchors[-1].read_text()).get("parsed") or {}
         sf = parsed.get("sf")
-        med = bench._sidecar_medians(parsed, sf) if sf is not None else {}
+        med = (
+            bench._sidecar_medians(parsed, sf, anchors[-1].name)
+            if sf is not None
+            else {}
+        )
         if med or parsed.get("queries_median"):
             print(f"sidecar OK: median gate anchored to {anchors[-1].name}")
+            # PIN the evidence under a round-stamped name the moment the
+            # anchor lands: the floating bench_detail.json is overwritten
+            # by every local bench run (round 9 lost the r8-driver
+            # medians exactly that way); _sidecar_medians reads the
+            # pinned copy first.
+            pinned = ROOT / anchors[-1].name.replace("BENCH_", "bench_detail_")
+            floating = ROOT / "bench_detail.json"
+            if not pinned.exists() and floating.exists():
+                floating_detail = json.loads(floating.read_text())
+                if floating_detail.get("queries") == parsed.get("queries"):
+                    pinned.write_text(floating.read_text())
+                    print(f"pinned sidecar -> {pinned.name} (commit it)")
         else:
             print(
-                f"SIDECAR STALE: bench_detail.json does not tie to"
+                f"SIDECAR STALE: no sidecar ties to"
                 f" {anchors[-1].name} — gate degraded to min-to-min;"
                 " recommit the sidecar from that run"
             )

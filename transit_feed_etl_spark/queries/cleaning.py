@@ -899,3 +899,117 @@ def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Domain-level curation: 23 synthetic sites across three public
+# suffixes (com/org/co.uk) and four subdomain shapes, so the
+# registered-domain extraction has real work to do (PSL-lite: co.uk
+# keeps three labels, everything else two) and the share accounting
+# splits deterministically (doc_id % 23 gives 17 domains 22 docs and 6
+# domains 21 docs over a 500-doc corpus). Mirrored verbatim below.
+_DOMAIN_HOST_SQL = """
+      (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN ''
+                       WHEN 2 THEN 'blog.' ELSE 'news.' END)
+      || 'site' || CAST(doc_id % 23 AS VARCHAR)
+      || (CASE (doc_id % 23) % 3 WHEN 0 THEN '.com'
+                                 WHEN 1 THEN '.org' ELSE '.co.uk' END)
+"""
+
+_DOMAIN_STATS_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_DOMAIN_HOST_SQL} AS host FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars, host,
+             CASE WHEN host LIKE '%.co.uk'
+                  THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             END AS domain
+      FROM u
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM r)
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS INT) AS n_hosts,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(FLOOR(COUNT(*) * 10000.0 / (SELECT n FROM tot)) AS INT)
+             AS share_bp,
+           CAST(FLOOR(COUNT(*) * 10000.0 / (SELECT n FROM tot)) AS INT) >= 430
+             AS over_cap
+    FROM r
+    GROUP BY domain
+    ORDER BY domain
+"""
+
+
+@register("domain_doc_stats", oracle=_DOMAIN_STATS_SQL)
+def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus accounting — the CCNet/RefinedWeb
+    domain-level curation stage that runs right after the
+    `url_canonical_dedup` front door: group the crawl by REGISTERED
+    domain (public-suffix-aware host reduction, PSL-lite: multi-part
+    suffixes like .co.uk keep three labels, everything else two) and
+    report per-domain document counts, distinct hosts, byte totals, and
+    the corpus share in basis points — with an `over_cap` flag for
+    over-represented domains, the signal real pipelines use to cap any
+    single domain's contribution to the training mix.
+
+    Hosts are synthesized deterministically from doc_id (see
+    _DOMAIN_HOST_SQL — the `url_canonical_dedup` testdata-shim
+    pattern): four subdomain shapes x 23 sites x 3 suffixes, so
+    www./blog./news. variants of one site must collapse into one
+    registered domain while site7.com and site7.org stay distinct.
+
+    Scale design: domain extraction is a scan-stage string projection;
+    the corpus-wide exchange is ONE domain-keyed groupBy with partial
+    aggregation (key-width: a short domain string per record); the
+    corpus total is reduced to a single broadcast row (the
+    `quality_threshold_prune` scalar pattern) so share accounting adds
+    no second corpus pass. Determinism: share_bp is FLOOR'd to integer
+    basis points, so the cross-engine compare never touches a raw
+    double ratio."""
+    d = table_par(spark, sf_dir, "documents")
+    sub = F.col("doc_id") % 4
+    site = F.col("doc_id") % 23
+    host = F.concat(
+        F.when(sub == 0, F.lit("www."))
+        .when(sub == 1, F.lit(""))
+        .when(sub == 2, F.lit("blog."))
+        .otherwise(F.lit("news.")),
+        F.lit("site"),
+        site.cast("string"),
+        F.when(site % 3 == 0, F.lit(".com"))
+        .when(site % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".co.uk")),
+    )
+    r = d.select(
+        "doc_id",
+        "n_chars",
+        host.alias("host"),
+    ).withColumn(
+        "domain",
+        F.when(
+            F.col("host").endswith(".co.uk"),
+            F.regexp_extract("host", r"([^.]+\.co\.uk)$", 1),
+        ).otherwise(F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)),
+    )
+    tot = r.agg(F.count(F.lit(1)).alias("n"))
+    share = F.floor(F.col("n_docs") * 10000.0 / F.col("n")).cast("int")
+    return (
+        r.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").cast("int").alias("n_hosts"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            "n_hosts",
+            "total_chars",
+            share.alias("share_bp"),
+            (share >= 430).alias("over_cap"),
+        )
+        .orderBy("domain")
+    )

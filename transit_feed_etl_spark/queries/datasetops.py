@@ -480,3 +480,123 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# C4/RefinedWeb-style repeated-line removal: the line width (tokens per
+# synthesized line) and the cross-document frequency threshold. The
+# testdata documents carry no newlines, so line structure is
+# synthesized deterministically — fixed 6-token chunks of the
+# WS-collapsed text — the same testdata-shim pattern url_canonical_dedup
+# (synthesized URLs) and html_boilerplate_extract (synthesized page
+# shells) use; the removal/reconstruction machinery is the real stage.
+_LINE_W = 6
+_LINE_K = 3
+
+_LINE_DEDUP_ORACLE = f"""
+    WITH d0 AS (
+      SELECT doc_id, trim(regexp_replace(COALESCE(text, ''),
+                          '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS c
+      FROM documents
+    ),
+    d AS (SELECT doc_id, string_split(c, ' ') AS t FROM d0 WHERE c <> ''),
+    lines AS (
+      SELECT doc_id, CAST(i AS INT) AS line_no,
+             array_to_string(t[(i*{_LINE_W}+1):(i*{_LINE_W}+{_LINE_W})], ' ')
+               AS line
+      FROM d, UNNEST(generate_series(0,
+               CAST(CEIL(LEN(t) / {_LINE_W}.0) AS INT) - 1)) AS g(i)
+    ),
+    freq AS (
+      SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS nd
+      FROM lines GROUP BY 1
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.line_no, l.line, (f.nd >= {_LINE_K}) AS is_boiler
+      FROM lines l JOIN freq f ON f.h = md5(l.line)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                               ' ' ORDER BY line_no), '') AS cleaned_text
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@register("line_dedup_across_docs", oracle=_LINE_DEDUP_ORACLE)
+def line_dedup_across_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line removal — the C4/CCNet/RefinedWeb
+    boilerplate stage that deletes every line occurring in >= K distinct
+    documents (cookie banners, nav text, share buttons) and re-emits
+    each document's cleaned text. Complements `dup_ngram_doc_stats`
+    (which MEASURES cross-doc repetition) by actually REWRITING the
+    corpus, and `doc_repetition_scores` (within-doc repetition).
+
+    Line structure is synthesized as fixed 6-token chunks of the
+    WS-collapsed text (the testdata carries no newlines — see
+    _LINE_DEDUP_ORACLE's header note); docs with empty/NULL text have
+    no lines and no row, both engines.
+
+    Scale design: the frequency pass groups on md5(line) so the
+    corpus-wide exchange carries 32-hex digests + doc_id, never line
+    bodies (the dedup_exact width contract); the >= K boilerplate set
+    is a tiny fraction of distinct lines and is BROADCAST back as a
+    left join (map-side flagging — the corpus never shuffles to learn
+    its flags); the one unavoidable corpus-width exchange is the final
+    per-doc regroup that reassembles cleaned text in line order (the
+    same reconstruction shuffle `pack_sequences` pays). Determinism:
+    md5 on both engines makes every removal decision hash-identical;
+    reassembly is position-ordered (array_sort on (line_no, line)
+    structs vs ORDER BY line_no)."""
+    d = table_par(spark, sf_dir, "documents")
+    collapsed = F.trim(
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), rf"[{TX.WS}]+", " "
+        )
+    )
+    docs = d.select("doc_id", collapsed.alias("c")).filter(F.col("c") != "")
+    toks = F.split(F.col("c"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(_LINE_W)).cast("int")
+    lines = persist_tracked(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * _LINE_W + 1, _LINE_W), " "
+                    ),
+                )
+            ).alias("line_no", "line"),
+        ).withColumn("h", F.md5("line"))
+    )
+    boiler = (
+        lines.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _LINE_K)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "h", "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct("line_no", "line")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("is_boiler"), 1).otherwise(0)
+            ).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -530,3 +530,107 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("df").desc(), "term")
     )
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    d AS (SELECT doc_id, toks FROM t WHERE LEN(toks) >= 2),
+    pair AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, UNNEST(generate_series(1, LEN(toks) - 1)) AS g(i)
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vsz
+      FROM (SELECT unnest(toks) AS tok FROM t) u
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pair GROUP BY w1, w2),
+    pre AS (SELECT w1, COUNT(*) AS c1 FROM pair GROUP BY w1),
+    lp AS (
+      SELECT b.w1, b.w2,
+             CAST(ROUND(LN((b.c12 + 1.0) / (p.c1 + v.vsz)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM big b JOIN pre p USING (w1), v
+    )
+    SELECT pair.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(lp.logp) AS DOUBLE) AS sum_logprob,
+           ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM pair JOIN lp ON lp.w1 = pair.w1 AND lp.w2 = pair.w2
+    GROUP BY pair.doc_id
+    ORDER BY pair.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing: the CCNet-
+    style perplexity-proxy quality filter one order up from
+    `doc_unigram_logprob`. The model is the corpus's own bigram table —
+    P(w2|w1) = (c(w1,w2) + 1) / (c_prefix(w1) + |V|), where c_prefix
+    counts w1 as a bigram PREFIX (all positions except doc-final, so
+    the conditional rows sum to 1 per prefix) and |V| is the distinct-
+    token vocabulary — and each document is scored by the sum/mean
+    log-probability of its adjacent token pairs (docs with < 2 tokens
+    have no bigrams and no row, both engines).
+
+    Scale design: the pair stream is built map-side (two shifted
+    slices zipped, no self-join); bigram and prefix counts are
+    key-width groupBys over the pair stream (partial aggs, two short
+    tokens per key); the scored model is vocab²-BOUNDED (observed
+    bigrams only, << corpus under the same vocab << corpus assumption
+    `doc_unigram_logprob` pins) and BROADCAST back onto the pair
+    stream, so the only corpus-scaled exchanges carry token pairs,
+    never documents. Determinism: per-pair ln() rounded to 6dp then
+    summed as exact DECIMAL — merge-order-independent, engine-identical
+    (the `doc_unigram_logprob` contract)."""
+    from transit_feed_etl_spark.caching import persist_tracked
+
+    d = table_par(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    pair = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                    F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    pair = persist_tracked(pair)
+    vsz = (
+        d.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("vsz"))
+    )
+    big = pair.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pre = pair.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp = (
+        big.join(pre, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz"))), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    return (
+        pair.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp").cast("double").alias("sum_logprob"),
+        )
+        .withColumn(
+            "avg_logprob", F.round(F.col("sum_logprob") / F.col("n_bigrams"), 6)
+        )
+        .orderBy("doc_id")
+    )
