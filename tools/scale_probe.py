@@ -223,8 +223,24 @@ def main() -> int:
             v = table_par(spark, dirs[k], "embeddings").select(
                 "vec_id", VV.as_double("embedding").alias("v")
             )
+            # Seeds must be passed EXPLICITLY here: the replicated dirs
+            # space ids 10M apart, so kmeans_train's seed_below filter
+            # (vec_id < n_cells*mod) only ever reaches replica-0's
+            # ~2k dense ids — cells silently COLLAPSED as k grew
+            # (x8: 63, x16: 32, x32: 16 instead of 128/256/512), which
+            # turned the per-cell pair scan quadratic and invalidated
+            # the sizing rule the probe exists to measure (found in
+            # round 9; the r8 "1.51x/doubling, 4.5x last doubling" row
+            # measured this degenerate configuration, not the two-level
+            # design — retracted in SCALE.md).
+            samp = v.filter(F.col("vec_id") % mod == 0)
+            seeds = (
+                samp.orderBy("vec_id")
+                .limit(n_cells)
+                .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            )
             n = semdedup_pairs_sampled(
-                v, n_cells=n_cells, sample_mod=mod
+                v, n_cells=n_cells, sample_mod=mod, seeds=seeds
             ).count()
             best = min(best, time.monotonic() - t0)
             release_caches()

@@ -688,15 +688,23 @@ def kmeans_train(
             )
         )
         # empty cells keep their previous centroid (deterministic both
-        # sides). NO per-round localCheckpoint here: although cent_i
-        # feeds cent_{i+1} twice (assignment broadcast + empty-cell
-        # fallback join), Spark's exchange/broadcast reuse already
-        # deduplicates the shared subtree — measured at sf0.1, an eager
-        # per-round checkpoint made semdedup_prune 12% SLOWER
-        # (6.0 s -> 6.8 s) and left ivf_kmeans_topk flat. Lineage depth
-        # stays bounded by the small fixed iteration count.
-        cent = cent.join(new_cv, "cid", "left").select(
-            "cid", F.coalesce("cv_new", "cv").alias("cv")
+        # sides). Eager localCheckpoint per round (round-9 REVERSAL of
+        # the r8 "no checkpoint" note): cent_i feeds cent_{i+1} TWICE
+        # (assignment broadcast + empty-cell fallback join), so the
+        # un-truncated LOGICAL plan doubles per iteration — 2^iters
+        # copies of the seed subtree that the ANALYZER walks in full
+        # even when execution hits caches, and that every consumer of
+        # the trained centroids (hierarchy levels, tree broadcast)
+        # multiplies again. The r8 measurement ("checkpoint 12% slower")
+        # predates the fold assigners and the hierarchical consumer;
+        # remeasured in round 9 the flat-plan version is 5.5x faster on
+        # the x16 probe (151s -> 27.6s end-to-end, identical output)
+        # and the checkpoint itself is a cells-row job. The same
+        # per-round pattern as components/pagerank/BPE/perceptron.
+        cent = (
+            cent.join(new_cv, "cid", "left")
+            .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint()
         )
     return cent
 
@@ -2241,6 +2249,7 @@ def semdedup_pairs_sampled(
     tau: float = _SEMDEDUP_TAU,
     sample_mod: int = _SD_SAMPLE_MOD,
     branch: int = _SD_BRANCH,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """The sampled/hierarchical SemDeDup pipeline over a (vec_id, v)
     frame with parameterized sizing — the registered query pins the
@@ -2255,7 +2264,11 @@ def semdedup_pairs_sampled(
     samp = v.filter(F.col("vec_id") % sample_mod == 0)
     cent = persist_tracked(
         kmeans_train(
-            samp, iters=iters, n_cells=n_cells, seed_below=n_cells * sample_mod
+            samp,
+            iters=iters,
+            n_cells=n_cells,
+            seed_below=n_cells * sample_mod,
+            seeds=seeds,
         )
     )
     cells = hier_assign(v, cent, n_cells=n_cells, branch=branch)
@@ -2279,22 +2292,30 @@ def hier_assign(
       depth grows with cells (∝ corpus under the SemDeDup sizing rule)
       while each level scores only ~branch candidates, so the r8
       measured n^1.5 assignment term flattens to n·log n;
-    - the corpus NEVER shuffles during assignment: every argmax is a
-      per-row fold over a broadcast candidate array and every
-      level-descend join is an explicit broadcast-hint hash join on the
-      current node id — there is no window over vec_id and no
-      join-the-vectors-back (the r8 shape's `va.join(v, "vec_id")`
-      planned as a vector-width corpus exchange past the broadcast
-      threshold; tests/test_exchange_audit.py now pins the no-shuffle
+    - the corpus NEVER shuffles during assignment AND never enters a
+      join: the whole descent is ONE projection — the complete routing
+      tree ((level, parent) -> sorted child-candidate array) is folded
+      into a single broadcast map row, and each vector walks it with a
+      nested per-row argmax fold, top node first, then map-lookup of
+      the chosen node's children at each level. The first r9 shape
+      (one broadcast-hint hash join per level) was measured 6x slower
+      than the FLAT assigner at probe sizes: every level added a join
+      boundary, a fresh broadcast subtree, and a whole-stage-codegen
+      recompile, and that per-plan constant dominated the (tiny) fold
+      work — the tree-map walk compiles once and pipelines in the scan
+      stage (tests/test_exchange_audit.py pins the no-corpus-shuffle
       claim under autoBroadcastJoinThreshold=-1);
-    - the broadcast relations are centroid-sized: O(cells · d) doubles
-      across all levels. The hierarchy BUILD is Θ(cells²/branch)
-      pairwise scorings over the centroid table only (corpus-
-      independent; cells ≪ n under the ~3k-vectors-per-cell sizing
-      rule), and each build-side argmax runs on centroid-count rows.
+    - the broadcast tree is centroid-sized: O(cells · d) doubles
+      across all levels (a geometric series over the level sizes). The
+      hierarchy BUILD is Θ(cells²/branch) pairwise scorings over the
+      centroid table only (corpus-independent; cells ≪ n under the
+      ~3k-vectors-per-cell sizing rule), and each build-side argmax
+      runs on centroid-count rows.
     Routing drops a vector only if its chosen node has zero children —
-    possible for an empty super-cell and identical to the unrolled
-    oracle's inner join through c2s (parity-preserved, not a defect)."""
+    the map lookup misses, the fold over the NULL array yields a NULL
+    node, and the NULL cascades to a filtered-out NULL cell: identical
+    to the unrolled oracle's inner join through c2s (parity-preserved,
+    not a defect)."""
     levels = [cent]
     sizes = [n_cells]
     while sizes[-1] > branch:
@@ -2307,52 +2328,77 @@ def hier_assign(
             persist_tracked(kmeans_train(pts, iters=1, n_cells=m, seeds=seeds))
         )
         sizes.append(m)
-    cur = (
-        v.crossJoin(F.broadcast(_cand_array(levels[-1])))
-        .withColumn("nrm", V.l2_norm(F.col("v")))
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            _fold_argmax_cell(
-                F.col("cands"), F.col("v"), F.col("nrm")
-            ).alias("node"),
-        )
-    )
-    for k in range(len(levels) - 2, -1, -1):
-        pts = levels[k].select(
-            F.col("cid").alias("vec_id"), F.col("cv").alias("v")
-        )
-        link = _ivf_assign(pts, levels[k + 1], nprobe=1).select(
-            F.col("vec_id").alias("child"), F.col("cid").alias("parent")
-        )
-        grp = (
-            link.join(levels[k], link["child"] == levels[k]["cid"])
-            .groupBy("parent")
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("cid"),
-                            F.col("cv"),
-                            V.l2_norm(F.col("cv")).alias("cnrm"),
+    depth = len(levels) - 1
+    top = _cand_array(levels[-1]).select(F.col("cands").alias("top"))
+    if depth == 0:
+        onerow = top
+    else:
+        # (level, parent) -> cid-ASC-sorted candidate array, all levels
+        # in one map (struct keys; field names/types must match the
+        # lookup struct exactly)
+        ents = []
+        for k in range(depth):
+            pts = levels[k].select(
+                F.col("cid").alias("vec_id"), F.col("cv").alias("v")
+            )
+            link = _ivf_assign(pts, levels[k + 1], nprobe=1).select(
+                F.col("vec_id").alias("child"), F.col("cid").alias("parent")
+            )
+            ents.append(
+                link.join(levels[k], link["child"] == levels[k]["cid"])
+                .groupBy("parent")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("cid"),
+                                F.col("cv"),
+                                V.l2_norm(F.col("cv")).alias("cnrm"),
+                            )
                         )
-                    )
-                ).alias("cands")
+                    ).alias("cands")
+                )
+                .select(
+                    F.struct(
+                        F.lit(k).cast("int").alias("lvl"),
+                        F.col("parent").cast("bigint").alias("node"),
+                    ).alias("key"),
+                    "cands",
+                )
             )
+        entries = ents[0]
+        for e in ents[1:]:
+            entries = entries.unionByName(e)
+        tree = entries.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("key", "cands"))
+            ).alias("tree")
         )
-        cur = (
-            cur.join(F.broadcast(grp), cur["node"] == grp["parent"])
-            .select(
-                "vec_id",
-                "v",
-                "nrm",
-                _fold_argmax_cell(
-                    F.col("cands"), F.col("v"), F.col("nrm")
-                ).alias("node"),
-            )
+        onerow = tree.crossJoin(top)
+    cur = v.crossJoin(F.broadcast(onerow)).withColumn(
+        "nrm", V.l2_norm(F.col("v"))
+    )
+    node = _fold_argmax_cell(F.col("top"), F.col("v"), F.col("nrm"))
+    for k in range(depth - 1, -1, -1):
+        # try_element_at, not element_at: a zero-children node (or a
+        # NULL node cascading from one) misses the map, and ANSI
+        # element_at would throw where the routing contract wants a
+        # NULL-propagating drop
+        node = _fold_argmax_cell(
+            F.try_element_at(
+                F.col("tree"),
+                F.struct(
+                    F.lit(k).cast("int").alias("lvl"),
+                    node.cast("bigint").alias("node"),
+                ),
+            ),
+            F.col("v"),
+            F.col("nrm"),
         )
-    return cur.select("vec_id", F.col("node").alias("cell"), "v")
+    return (
+        cur.select("vec_id", node.alias("cell"), "v")
+        .filter(F.col("cell").isNotNull())
+    )
 
 
 def _pca_power_sql_parts(mat: str, pref: str, iters: int) -> list[str]:
