@@ -61,6 +61,13 @@ PROBES = [
     ("cluster_aware_split", {"documents": ["doc_id"]}),
     ("bpe_encode_token_counts", {"documents": ["doc_id"]}),
     ("dup_ngram_doc_stats", {"documents": ["doc_id"]}),
+    # r9 text additions: line frequency/regroup and bigram-LM counts are
+    # corpus-keyed partial aggs -> expect ~linear; domain stats is one
+    # key-width groupBy over a 23-domain key space -> expect ~flat-linear
+    ("line_dedup_across_docs", {"documents": ["doc_id"]}),
+    ("doc_bigram_logprob", {"documents": ["doc_id"]}),
+    ("domain_doc_stats", {"documents": ["doc_id"]}),
+    ("html_boilerplate_extract", {"documents": ["doc_id"]}),
     ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
     ("sessionize_events", {"events": ["event_id"]}),
     ("exact_substring_spans", {"documents": ["doc_id"]}),
