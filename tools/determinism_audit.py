@@ -6,8 +6,9 @@ oracle-parity gate cannot see. ~8 min at sf0.01; run before a round
 hand-off, not in the pytest loop.
 
 Usage: python tools/determinism_audit.py [sf_dir]
-Last clean run: 204/204 deterministic at sf0.01 (round 8, all four r8
-registrations included). Round-7: 199/199. Round-6 note kept below for
+Last clean run: 208/208 deterministic at sf0.01 (round 9, all four r9
+registrations and the rebuilt kmeans/hier_assign path included).
+Round-8: 204/204. Round-7: 199/199. Round-6 note kept below for
 the re-audit protocol: 198/198 (round 6; the six
 queries whose outputs changed after that run — the oracle promotions,
 array_setops, and the redesigned embedding_quantization — were
