@@ -210,17 +210,20 @@ PRIORITY: tuple[str, ...] = (
 # portable-whitespace repin from the control-whitespace sweep) were all
 # re-attested green in CORRECTNESS_r08 and pruned at round-9 start.
 #
-# Round 9: the k-means training/assignment path was rebuilt (Lloyd
-# per-dim means collapsed to one wide decimal aggregate, join-backs on
-# vec_id replaced by keep-the-vector folds, hier_assign replacing
-# two_level_assign — VERDICT r8 items 3+4). The rewrite is value-
-# identical BY DESIGN and locally re-verified against the unchanged
-# oracles, but the r7/r8 green rows attest the old plan, not this one —
-# every consumer of the rebuilt path needs a fresh r9+ attesting row.
+# Round 9's three entries (consumers of the rebuilt k-means
+# training/assignment path — Lloyd one-wide-aggregate, keep-the-vector
+# folds, hier_assign) were all re-attested green in CORRECTNESS_r09 and
+# pruned at round-10 start.
+#
+# Round 10: line_dedup_across_docs was rebuilt (VERDICT r9 item 4 —
+# the forced boilerplate-set broadcast hint replaced by a hint-free
+# narrow-projection flag join + map-side text reconstruction, so the
+# plan degrades to a digest shuffle when the set outgrows broadcast
+# range). Value-identical by design and locally re-verified against
+# the unchanged oracle at sf0.001/sf0.01, but the r9 green row attests
+# the old plan — it needs a fresh r10+ attesting row.
 FORCE_RECHECK: dict[str, int] = {
-    "ivf_kmeans_topk": 9,
-    "semdedup_prune": 9,
-    "semdedup_prune_sampled": 9,
+    "line_dedup_across_docs": 10,
 }
 
 

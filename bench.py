@@ -74,7 +74,16 @@ HEADLINE = (
 def _sidecar_medians(
     anchor: dict, sf: float, anchor_basename: str | None = None
 ) -> dict[str, float]:
-    """Medians from a committed sidecar, ONLY when it provably describes
+    """Back-compat wrapper: just the medians map from `_sidecar_detail`
+    (tools/round_start.py and the gate tests address this name)."""
+    return _sidecar_detail(anchor, sf, anchor_basename).get("queries_median") or {}
+
+
+def _sidecar_detail(
+    anchor: dict, sf: float, anchor_basename: str | None = None
+) -> dict:
+    """Full sidecar payload (medians, spread, host canary) from a
+    committed sidecar, ONLY when it provably describes
     the same run as the anchor: same sf AND an identical per-query min
     map (the min map is in both artifacts, so equality ties the sidecar
     to the anchor's exact run — a stale dev-loop sidecar can never be
@@ -104,16 +113,27 @@ def _sidecar_medians(
             and detail.get("queries")  # non-empty: None == None must not match
             and detail.get("queries") == anchor.get("queries")
         ):
-            return detail.get("queries_median") or {}
+            return detail
     return {}
 
 
 def _prev_bench(sf: float) -> tuple[dict[str, float], dict[str, float]]:
+    """Back-compat 2-tuple view of `_prev_bench_full` (the gate tests
+    pin this shape)."""
+    mins, meds, _canary = _prev_bench_full(sf)
+    return mins, meds
+
+
+def _prev_bench_full(
+    sf: float,
+) -> tuple[dict[str, float], dict[str, float], float]:
     """Per-query timings from the newest USABLE BENCH_r*.json anchor
     (driver artifact), for round-over-round delta reporting and the
-    regression gate. Returns (mins, medians): the anchor's min-of-passes
-    map, plus its medians when the anchor recorded queries_median or the
-    bench_detail.json sidecar provably belongs to it (else {}). The gate
+    regression gate. Returns (mins, medians, canary_median): the
+    anchor's min-of-passes map, its medians when the anchor recorded
+    queries_median or the bench_detail.json sidecar provably belongs to
+    it (else {}), and the anchor run's host-canary median seconds (0.0
+    when the anchor predates the canary — VERDICT r9 item 3). The gate
     compares like to like — min-to-min and median-to-median, never
     median-vs-min, which would double-count noise (VERDICT r4 item 4).
     Only comparable at the SAME sf — a smaller dev-loop sf would
@@ -151,8 +171,10 @@ def _prev_bench(sf: float) -> tuple[dict[str, float], dict[str, float]]:
                 file=sys.stderr,
             )
             continue
-        med = parsed.get("queries_median") or _sidecar_medians(
-            parsed, sf, os.path.basename(path)
+        side = _sidecar_detail(parsed, sf, os.path.basename(path))
+        med = parsed.get("queries_median") or side.get("queries_median") or {}
+        canary = float(
+            parsed.get("canary_median") or side.get("canary_median") or 0.0
         )
         qmap = parsed.get("queries") or {}
         if not qmap and not med:
@@ -170,8 +192,45 @@ def _prev_bench(sf: float) -> tuple[dict[str, float], dict[str, float]]:
                 " gate)",
                 file=sys.stderr,
             )
-        return qmap, med
-    return {}, {}
+        return qmap, med, canary
+    return {}, {}, 0.0
+
+
+def _host_canary() -> float:
+    """Seconds for a FIXED, Spark-free, single-process CPU calibration
+    workload (seeded-PRNG zlib compression + a small float matmul loop).
+    Identical work every call and every round, so its wall time measures
+    ONLY how fast this host currently executes CPU-bound code — the
+    denominator that separates 'the host got slower' from 'the engine
+    got slower' in round-over-round bench ratios (VERDICT r9 item 3:
+    two consecutive ~1.15x same-direction drifts could not be attributed
+    with timing data alone). Deterministic by construction: numpy PRNG
+    with a pinned seed, fixed shapes, fixed zlib level."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(20260816)
+    payload = rng.integers(0, 256, size=4_000_000, dtype=np.uint8).tobytes()
+    a = rng.random((256, 256))
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(2):
+        acc += len(zlib.compress(payload, 6))
+        a = a @ a
+        a /= np.abs(a).max() + 1.0  # keep magnitudes bounded across iters
+    if acc <= 0:  # impossible; anchors the work against dead-code motion
+        raise RuntimeError("canary checksum")
+    return time.perf_counter() - t0
+
+
+def _loadavg() -> list[float]:
+    """1/5/15-minute load averages, [] where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except Exception:
+        return []
 
 
 def main() -> None:
@@ -205,7 +264,14 @@ def main() -> None:
     # 32-core box) from poisoning every sample of the same query.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
+    canary_sec: list[float] = []
+    loadavgs: list[list[float]] = []
     for _pass in range(3):
+        # host-speed canary OUTSIDE any query's timing window: one fixed
+        # CPU-bound sample per pass, so the sidecar records how fast the
+        # host was during this run (VERDICT r9 item 3)
+        canary_sec.append(round(_host_canary(), 3))
+        loadavgs.append(_loadavg())
         for name in HEADLINE:
             q = QUERIES[name]
             t0 = time.perf_counter()
@@ -228,7 +294,7 @@ def main() -> None:
         n: round(100.0 * (max(s) - min(s)) / sorted(s)[len(s) // 2], 1)
         for n, s in samples.items()
     }
-    prev_min, prev_med = _prev_bench(sf)
+    prev_min, prev_med, prev_canary = _prev_bench_full(sf)
     for name in HEADLINE:
         delta = ""
         if name in prev_min and prev_min[name] > 0:
@@ -265,22 +331,67 @@ def main() -> None:
         for name, d in sorted(warns.items()):
             print(f"# REGRESSION-GATE WARN {name}: {d}", file=sys.stderr)
         if fails:
+            # each FAIL detail already names WHICH signals fired (VERDICT
+            # r9 item 1: the r9 run hard-coded "both min and median" onto
+            # min-only-mode failures — driver evidence must not overstate
+            # itself, so the suffix is now built where the mode is known)
             for name, d in sorted(fails.items()):
-                print(
-                    f"# REGRESSION-GATE FAIL {name}: {d}"
-                    " (>1.5x on both min and median signals)",
-                    file=sys.stderr,
-                )
+                print(f"# REGRESSION-GATE FAIL {name}: {d}", file=sys.stderr)
         else:
             common = sum(1 for n in HEADLINE if prev_min.get(n, 0) > 0)
             print(
                 f"# REGRESSION-GATE PASS: 0/{common} common queries"
-                " regressed beyond 1.5x on both signals vs previous round"
+                " regressed beyond the gate thresholds vs previous round"
                 f" ({len(warns)} single-signal warnings)",
                 file=sys.stderr,
             )
 
-    out, detail = _artifacts(timings, medians, spread_pct, sf, passes=3)
+    # Host-canary + drift summary (stderr + sidecar only; the stdout
+    # line stays inside the driver's tail-capture budget). Drift is
+    # quoted both raw and canary-normalized so a slower HOST is not
+    # booked as a slower ENGINE (VERDICT r9 item 3: normalized drift
+    # >1.1x on common queries = real regression hunt, not noise).
+    canary_median = sorted(canary_sec)[len(canary_sec) // 2]
+    host_ratio = canary_median / prev_canary if prev_canary > 0 else 0.0
+    print(
+        f"# HOST-CANARY: median {canary_median:.3f}s over"
+        f" {len(canary_sec)} samples {canary_sec}, loadavg(1m) at passes"
+        f" {[la[0] for la in loadavgs if la]}"
+        + (
+            f"; anchor canary {prev_canary:.3f}s -> host-speed ratio"
+            f" {host_ratio:.2f}x"
+            if prev_canary > 0
+            else "; anchor carries no canary (normalization arms next round)"
+        ),
+        file=sys.stderr,
+    )
+    common = [n for n in HEADLINE if prev_min.get(n, 0) > 0 and timings[n] > 0]
+    if common:
+        import math
+
+        geo_raw = math.exp(
+            sum(math.log(timings[n] / prev_min[n]) for n in common) / len(common)
+        )
+        norm_note = (
+            f", {geo_raw / host_ratio:.2f}x canary-normalized"
+            if prev_canary > 0
+            else ""
+        )
+        print(
+            f"# ROUND-OVER-ROUND: common-query min geomean {geo_raw:.2f}x"
+            f" raw{norm_note} vs anchor ({len(common)} queries)",
+            file=sys.stderr,
+        )
+
+    out, detail = _artifacts(
+        timings,
+        medians,
+        spread_pct,
+        sf,
+        passes=3,
+        canary_sec=canary_sec,
+        loadavgs=loadavgs,
+    )
     with open(
         os.path.join(os.path.dirname(__file__) or ".", "bench_detail.json"), "w"
     ) as f:
@@ -294,16 +405,22 @@ def _gate_verdicts(
     prev_min: dict[str, float],
     prev_med: dict[str, float],
     threshold: float = 1.5,
+    hard_median: float = 2.0,
 ) -> tuple[dict[str, str], dict[str, str]]:
-    """Classify each query against the anchor: FAIL only when it exceeds
-    the threshold on BOTH robust signals (min-to-min AND
-    median-to-median); a single-signal exceedance is a WARN. Rationale
+    """Classify each query against the anchor: FAIL when it exceeds the
+    threshold on BOTH robust signals (min-to-min AND median-to-median),
+    OR when the median alone exceeds the higher hard_median bar (ADVICE
+    r9: with only 3 passes the min is itself noisy, so one lucky fast
+    pass must not rescue a 2x median regression into a WARN); a
+    single-signal exceedance below the hard bar is a WARN. Rationale
     (round-9 triage of the four r8 median-mode FAILs): single-shot
     timings on this box swing up to 3x between sessions on identical
     code, and one noisy pass out of three moves the median while a REAL
     plan regression moves the min too. When the anchor carries no
     medians, a min exceedance alone still FAILs (no second signal exists
-    to clear it)."""
+    to clear it). Each FAIL's detail string names exactly which signals
+    fired (VERDICT r9 item 1: the printed claim must match the mode the
+    gate actually ran in)."""
     fails: dict[str, str] = {}
     warns: dict[str, str] = {}
     for name in timings:
@@ -311,11 +428,24 @@ def _gate_verdicts(
         pd = prev_med.get(name, 0)
         min_bad = pm > 0 and timings[name] > threshold * pm
         med_bad = pd > 0 and medians.get(name, 0) > threshold * pd
+        med_very_bad = pd > 0 and medians.get(name, 0) > hard_median * pd
         detail = f"min {pm:.3f}->{timings[name]:.3f}s" + (
             f", median {pd:.3f}->{medians.get(name, 0):.3f}s" if pd > 0 else ""
         )
-        if min_bad and (med_bad or pd <= 0):
-            fails[name] = detail  # both signals red (or medians unavailable)
+        if min_bad and med_bad:
+            fails[name] = detail + (
+                f" (>{threshold:g}x on both min and median signals)"
+            )
+        elif min_bad and pd <= 0:
+            fails[name] = detail + (
+                f" (min-only mode: >{threshold:g}x on min and the anchor"
+                " carries no medians)"
+            )
+        elif med_very_bad:
+            fails[name] = detail + (
+                f" (median >{hard_median:g}x hard bar; min within"
+                f" {threshold:g}x — one fast pass cannot rescue this)"
+            )
         elif min_bad or med_bad:
             warns[name] = detail + (
                 " (median-only: likely one noisy pass)"
@@ -331,6 +461,8 @@ def _artifacts(
     spread_pct: dict[str, float],
     sf: float,
     passes: int,
+    canary_sec: list[float] | None = None,
+    loadavgs: list[list[float]] | None = None,
 ) -> tuple[dict, dict]:
     """Split the results into (compact stdout line, full sidecar).
 
@@ -355,6 +487,12 @@ def _artifacts(
         "queries_median": medians,
         "queries_spread_pct": spread_pct,
     }
+    if canary_sec:
+        # host-speed calibration (VERDICT r9 item 3): sidecar-only, so
+        # the stdout line never grows past the driver's tail capture
+        detail["canary_sec"] = canary_sec
+        detail["canary_median"] = sorted(canary_sec)[len(canary_sec) // 2]
+        detail["loadavg"] = loadavgs or []
     return out, detail
 
 

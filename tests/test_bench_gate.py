@@ -252,3 +252,92 @@ def test_prev_bench_reads_round_pinned_sidecar(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     assert bench._prev_bench(0.1) == ({"q": 1.0}, {"q": 1.4})
+
+
+def test_gate_fail_messages_name_the_signals_that_fired():
+    """VERDICT r9 item 1: the r9 driver artifact printed '(>1.5x on both
+    min and median signals)' on min-only-mode failures. The FAIL detail
+    is now built where the mode is known and must name exactly the
+    signals that fired."""
+    prev_min = {"q": 1.0}
+    prev_med = {"q": 1.0}
+    # both-signal FAIL says so
+    fails, _ = bench._gate_verdicts({"q": 2.0}, {"q": 2.0}, prev_min, prev_med)
+    assert "both min and median" in fails["q"]
+    # min-only mode (anchor has no medians) must NOT claim both signals
+    fails, _ = bench._gate_verdicts({"q": 2.0}, {"q": 2.0}, prev_min, {})
+    assert "min-only mode" in fails["q"]
+    assert "both" not in fails["q"]
+    assert "no medians" in fails["q"]
+
+
+def test_gate_hard_median_bar_fails_despite_lucky_min():
+    """ADVICE r9: with only 3 passes one lucky fast pass can rescue a
+    genuine regression via the min signal. A median alone beyond the 2x
+    hard bar must FAIL (and say why); at or below the hard bar a
+    median-only exceedance stays a WARN."""
+    prev_min = {"q": 1.0}
+    prev_med = {"q": 1.0}
+    # median 2.5x, min clean -> hard-bar FAIL naming the rescue attempt
+    fails, warns = bench._gate_verdicts({"q": 1.0}, {"q": 2.5}, prev_min, prev_med)
+    assert "q" in fails and not warns
+    assert "hard bar" in fails["q"]
+    # median 1.8x, min clean -> still the r9 WARN behavior
+    fails, warns = bench._gate_verdicts({"q": 1.0}, {"q": 1.8}, prev_min, prev_med)
+    assert not fails and "median-only" in warns["q"]
+
+
+def test_host_canary_runs_and_is_positive():
+    """The calibration workload must be cheap (sub-~10s even on a
+    heavily loaded box) and return a positive wall time."""
+    sec = bench._host_canary()
+    assert 0.0 < sec < 10.0, sec
+
+
+def test_prev_bench_full_returns_anchor_canary(tmp_path, monkeypatch):
+    """_prev_bench_full must surface the anchor run's canary median from
+    the pinned sidecar (0.0 when the anchor predates the canary), while
+    _prev_bench keeps its 2-tuple shape."""
+    import json
+
+    anchor = {"sf": 0.1, "queries": {"q": 1.0}}
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"parsed": anchor}))
+    (tmp_path / "bench_detail_r09.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {"q": 1.0},
+                "queries_median": {"q": 1.2},
+                "canary_sec": [0.5, 0.6, 0.5],
+                "canary_median": 0.5,
+            }
+        )
+    )
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._prev_bench_full(0.1) == ({"q": 1.0}, {"q": 1.2}, 0.5)
+    assert bench._prev_bench(0.1) == ({"q": 1.0}, {"q": 1.2})
+    # canary-less sidecar (pre-r10 anchors) -> 0.0, not a crash
+    (tmp_path / "bench_detail_r09.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 1.0}, "queries_median": {"q": 1.2}})
+    )
+    assert bench._prev_bench_full(0.1) == ({"q": 1.0}, {"q": 1.2}, 0.0)
+
+
+def test_artifacts_canary_goes_to_sidecar_not_stdout():
+    """The canary lives in bench_detail.json only — the stdout line must
+    not grow toward the driver's tail-capture limit (the BENCH_r05
+    parsed:null failure mode)."""
+    t = {n: 1.0 for n in bench.HEADLINE}
+    out, detail = bench._artifacts(
+        t,
+        t,
+        {n: 1.0 for n in t},
+        0.1,
+        passes=3,
+        canary_sec=[0.5, 0.6, 0.55],
+        loadavgs=[[1.0, 1.0, 1.0]] * 3,
+    )
+    assert "canary_sec" not in out and "canary_median" not in out
+    assert detail["canary_median"] == 0.55
+    assert detail["canary_sec"] == [0.5, 0.6, 0.55]
+    assert detail["loadavg"] == [[1.0, 1.0, 1.0]] * 3

@@ -59,6 +59,10 @@ NARROW_BOUNDS = {
     # (qid, nid, score) ADC rows
     "pq_adc_rerank_topk": (80, 100),
     "coorder_part_triangles": (72, 0),  # oriented edges + (deg,id) structs
+    # freq pass + flag join + removed-set groupBy all carry 32-hex
+    # digests + small ints; bodies only ride broadcasts under defaults
+    # (see the no-broadcast degradation test below)
+    "line_dedup_across_docs": (88, 0),
 }
 
 
@@ -121,6 +125,43 @@ def test_hier_assign_never_shuffles_corpus_without_broadcasts(spark):
         ex = audit_query(hier_assign(v, cent, n_cells=16))
         recs = [e["records"] for e in ex.get("hash", [])]
         assert all(r < n for r in recs), (n, ex.get("hash"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        release_caches()
+
+
+def test_line_dedup_degrades_to_digest_shuffle_without_broadcasts(spark):
+    """VERDICT r9 item 4: the r9 shape force-broadcast the >=K
+    repeated-line set via an F.broadcast hint — a hint the planner obeys
+    even when that set outgrows broadcast range (plausibly 1e8+ digests
+    across 100 TB of web text). The r10 shape is hint-free and keeps
+    line BODIES off every join: under autoBroadcastJoinThreshold=-1
+    (the proxy for the boilerplate set outgrowing the threshold) the
+    flag join must degrade to a digest-keyed shuffle — every
+    corpus-scaled exchange <= 88 B/rec except the SINGLE body-width
+    doc<->removed-set reassembly join — and the values must still match
+    the oracle. Measured at sf0.001: digest exchanges 56-75 B/rec, the
+    flag join at 64 B/rec, one 449 B/rec reassembly exchange carrying
+    exactly the doc count."""
+    from tests.oracle_utils import compare, run_oracle
+    from transit_feed_etl_spark.caching import release_caches
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = QUERIES["line_dedup_across_docs"]
+        ex = audit_query(q.builder(spark, SF))
+        widths = [
+            e["data_bytes"] / e["records"]
+            for e in ex.get("hash", [])
+            if e["records"]
+        ]
+        wide = [w for w in widths if w > 100]
+        assert len(wide) == 1, (widths, ex.get("hash"))
+        narrow = [w for w in widths if w <= 100]
+        assert narrow and max(narrow) <= 88, widths
+        problems = compare(q.builder(spark, SF), run_oracle(q.oracle, SF))
+        assert not problems, problems[:5]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         release_caches()
