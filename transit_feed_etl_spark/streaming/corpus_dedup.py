@@ -34,6 +34,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 
+def dedup_round(
+    batch: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pure-plan core of one dedup round, shared by the streaming
+    foreachBatch body below and the registered batch twin
+    (queries/dedup.py:corpus_dedup_rounds — the driver-oracled face of
+    this operator): in-batch first-seen (lowest id per md5 digest), then
+    a left-anti join against the `seen` digest store (one `digest`
+    column). Returns the surviving rows with their `_digest` column
+    attached so the caller can append it to the store."""
+    digests = batch.withColumn("_digest", F.md5(F.col(text_col)))
+    rn = F.row_number().over(W.partitionBy("_digest").orderBy(id_col))
+    firsts = digests.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    return firsts.join(
+        seen, firsts["_digest"] == seen["digest"], "left_anti"
+    )
+
+
 def dedup_batch_against_store(
     batch: DataFrame,
     store_path: str,
@@ -44,16 +65,12 @@ def dedup_batch_against_store(
     never seen before (in this batch or any prior one) and appends their
     digests to the store. The returned frame is already materialized."""
     spark = batch.sparkSession
-    digests = batch.withColumn("_digest", F.md5(F.col(text_col)))
-    rn = F.row_number().over(W.partitionBy("_digest").orderBy(id_col))
-    firsts = digests.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
     try:
         seen = spark.read.parquet(store_path).select("digest")
     except AnalysisException:
         seen = spark.createDataFrame([], "digest string")
-    fresh = firsts.join(
-        seen, firsts["_digest"] == seen["digest"], "left_anti"
-    ).localCheckpoint()  # snapshot BEFORE the store append (see module doc)
+    fresh = dedup_round(batch, seen, id_col, text_col).localCheckpoint()
+    # snapshot BEFORE the store append (see module doc)
     fresh.select(F.col("_digest").alias("digest")).write.mode("append").parquet(
         store_path
     )
