@@ -17,6 +17,17 @@ import time
 from transit_feed_etl_spark.queries import QUERIES
 from transit_feed_etl_spark.session import get_spark
 
+# The driver stores only the TAIL of this script's stdout in
+# BENCH_r{N}.json. MEASURED, not observed: every committed anchor's
+# `tail` field is EXACTLY 2000 chars (r1-r9, including r5 whose JSON
+# line outgrew the window and landed parsed:null) — the capture is a
+# hard 2000-char truncation. The stdout JSON line must stay under this
+# with headroom; tests/test_bench_gate.py derives its budget from this
+# constant and re-verifies the measurement against the committed
+# anchors so a driver-side change to the window trips a test instead of
+# silently truncating evidence (ADVICE r9).
+DRIVER_TAIL_CAPTURE = 2000
+
 # Headline set: one representative per operator family (full coverage is
 # the correctness suite's job; bench tracks throughput of the load-bearing
 # plans at sf0.1).

@@ -179,22 +179,43 @@ def test_prev_bench_scans_past_payloadless_anchor(tmp_path, monkeypatch):
 
 
 def test_stdout_line_fits_driver_capture():
-    """The driver keeps only ~2000 chars of stdout tail; the final JSON
-    line must stay comfortably inside it at the full 39-query headline
-    width (round 5 shipped a 4.5k-char line and the round's BENCH
-    artifact was unusable)."""
+    """The driver keeps only the tail of stdout; the final JSON line
+    must stay inside that window with headroom (round 5 shipped a
+    4.5k-char line and the round's BENCH artifact was unusable). The
+    budget derives from the PINNED capture constant, not an observed
+    approximation (ADVICE r9)."""
     import json
 
     t = {n: 123.456 for n in bench.HEADLINE}
     out, detail = bench._artifacts(t, t, {n: 99.9 for n in t}, 0.1, passes=3)
     line = json.dumps(out)
-    # ~2000 chars observed capture; 44 headline entries at the 7-char
-    # worst-case timing width is ~1600 — keep 100+ chars of headroom and
-    # force a layout decision (shorter names / trimmed payload) before
-    # growth ever reaches the capture limit
-    assert len(line) < 1900, len(line)
+    # 100 chars of headroom under the measured hard truncation forces a
+    # layout decision (shorter names / trimmed payload) before growth
+    # ever reaches the capture limit
+    assert len(line) < bench.DRIVER_TAIL_CAPTURE - 100, len(line)
     assert out["queries"] == t and "queries_median" not in out
     assert detail["queries_median"] == t and detail["queries_spread_pct"]
+
+
+def test_driver_tail_capture_constant_matches_committed_anchors():
+    """Provenance for DRIVER_TAIL_CAPTURE: every committed BENCH anchor's
+    `tail` field is at most the constant, and at least one anchor hits it
+    EXACTLY (the capture is a hard truncation, so full-length tails pin
+    the real window size). If the driver ever changes its capture, this
+    test points at the constant to re-measure."""
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(bench.__file__).resolve().parent
+    lens = []
+    for p in sorted(glob.glob(str(root / "BENCH_r*.json"))):
+        tail = json.load(open(p)).get("tail")
+        if isinstance(tail, str):
+            lens.append(len(tail))
+    assert lens, "no committed BENCH anchors with a tail field"
+    assert max(lens) <= bench.DRIVER_TAIL_CAPTURE, lens
+    assert bench.DRIVER_TAIL_CAPTURE in lens, lens
 
 
 def test_headline_queries_all_registered():

@@ -52,6 +52,50 @@ def main() -> int:
     if anchors:
         parsed = json.loads(anchors[-1].read_text()).get("parsed") or {}
         sf = parsed.get("sf")
+        # PIN the evidence under a round-stamped name the moment the
+        # anchor lands: the floating bench_detail.json is overwritten
+        # by every local bench run (round 9 lost the r8-driver medians
+        # exactly that way); _sidecar_medians reads the pinned copy
+        # first. Validation runs UNCONDITIONALLY — a wrong existing pin
+        # must be reported even when no sidecar currently resolves
+        # (ADVICE r9: the `not pinned.exists()` guard made a bad pin
+        # sticky and silent).
+        pinned = ROOT / anchors[-1].name.replace("BENCH_", "bench_detail_")
+        floating = ROOT / "bench_detail.json"
+
+        def _ties(detail: dict) -> bool:
+            # sf AND the full per-query min map must match the anchor
+            # (ADVICE r9: queries-only comparison could pin a
+            # different-sf sidecar whose timings happened to collide)
+            return (
+                detail.get("sf") == parsed.get("sf")
+                and bool(detail.get("queries"))
+                and detail.get("queries") == parsed.get("queries")
+            )
+
+        floating_detail = (
+            json.loads(floating.read_text()) if floating.exists() else {}
+        )
+        if pinned.exists() and not _ties(json.loads(pinned.read_text())):
+            if _ties(floating_detail):
+                pinned.write_text(floating.read_text())
+                print(
+                    f"RE-PINNED {pinned.name}: the existing pin failed"
+                    " the sf+queries tie check; replaced from the"
+                    " matching floating sidecar (commit it)"
+                )
+            else:
+                print(
+                    f"PINNED SIDECAR MISMATCH: {pinned.name} does not"
+                    f" tie to {anchors[-1].name} (sf+queries check) and"
+                    " no matching floating sidecar exists — the median"
+                    " gate will stay degraded until a sidecar from the"
+                    " anchor's run is recommitted under that name"
+                )
+        elif not pinned.exists() and _ties(floating_detail):
+            pinned.write_text(floating.read_text())
+            print(f"pinned sidecar -> {pinned.name} (commit it)")
+
         med = (
             bench._sidecar_medians(parsed, sf, anchors[-1].name)
             if sf is not None
@@ -59,18 +103,6 @@ def main() -> int:
         )
         if med or parsed.get("queries_median"):
             print(f"sidecar OK: median gate anchored to {anchors[-1].name}")
-            # PIN the evidence under a round-stamped name the moment the
-            # anchor lands: the floating bench_detail.json is overwritten
-            # by every local bench run (round 9 lost the r8-driver
-            # medians exactly that way); _sidecar_medians reads the
-            # pinned copy first.
-            pinned = ROOT / anchors[-1].name.replace("BENCH_", "bench_detail_")
-            floating = ROOT / "bench_detail.json"
-            if not pinned.exists() and floating.exists():
-                floating_detail = json.loads(floating.read_text())
-                if floating_detail.get("queries") == parsed.get("queries"):
-                    pinned.write_text(floating.read_text())
-                    print(f"pinned sidecar -> {pinned.name} (commit it)")
         else:
             print(
                 f"SIDECAR STALE: no sidecar ties to"
