@@ -393,6 +393,29 @@ def main() -> None:
             f" raw{norm_note} vs anchor ({len(common)} queries)",
             file=sys.stderr,
         )
+        # Duration-stratified view (r10 drift triage): a HOST-overhead
+        # shift adds a ~constant per-query cost, so it inflates the
+        # ratio of sub-second queries while leaving heavy queries near
+        # 1.0x (r9-idle vs r8-anchor measured light 1.33x / mid 1.08x /
+        # heavy 1.04x with a flat ~+75 ms median absolute delta in every
+        # class). An ENGINE regression scales with work and shows up in
+        # the heavy class. Read heavy-class geomean as the real signal.
+        import statistics
+
+        for lbl, lo, hi in (("light<0.5s", 0, 0.5), ("mid", 0.5, 1.5),
+                            ("heavy>=1.5s", 1.5, float("inf"))):
+            grp = [n for n in common if lo <= prev_min[n] < hi]
+            if grp:
+                g = math.exp(
+                    sum(math.log(timings[n] / prev_min[n]) for n in grp)
+                    / len(grp)
+                )
+                dmed = statistics.median(timings[n] - prev_min[n] for n in grp)
+                print(
+                    f"#   {lbl}: geomean {g:.2f}x, median delta"
+                    f" {dmed:+.3f}s (n={len(grp)})",
+                    file=sys.stderr,
+                )
 
     out, detail = _artifacts(
         timings,
