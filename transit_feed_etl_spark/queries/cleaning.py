@@ -1013,3 +1013,103 @@ def domain_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# Per-domain cap ENFORCEMENT, completing the accounting stage above:
+# domain_doc_stats flags over-represented domains; this query actually
+# applies the cap. Cap/salt constants shared with the oracle text.
+_DOMAIN_CAP = 15
+_DOMAIN_CAP_SALT = 8
+
+
+@register(
+    "domain_capped_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_DOMAIN_HOST_SQL} AS host FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN host LIKE '%.co.uk'
+                  THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             END AS domain
+      FROM u
+    ),
+    ranked AS (
+      SELECT doc_id, domain, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                                     ORDER BY n_chars DESC, doc_id) AS INT)
+               AS dom_rank
+      FROM r
+    )
+    SELECT doc_id, domain, n_chars, dom_rank
+    FROM ranked WHERE dom_rank <= {_DOMAIN_CAP}
+    ORDER BY doc_id
+    """,
+)
+def domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap ENFORCEMENT — the curation stage that
+    `domain_doc_stats`'s over_cap flag feeds: keep at most CAP documents
+    per registered domain, preferring longer documents (n_chars DESC, a
+    quality proxy) with doc_id as the total tie-break, and emit the
+    kept set with each doc's within-domain rank. This is the C4/
+    RefinedWeb-style mix-control step that stops a single crawl-heavy
+    domain from dominating the training mix.
+
+    Scale design — the naive plan (one row_number window partitioned by
+    domain) is a 100 TB hazard: registered domains are FEW and HEAVY (a
+    big domain holds billions of docs and the window sorts each domain
+    inside ONE task). The implementation is the salted two-phase top-N
+    (the operators/skew.py pattern applied to ranking): phase 1 ranks
+    within (domain, doc_id % SALT) groups and keeps CAP per salted
+    group — the exchange fans every domain across SALT tasks and
+    survivors are bounded by CAP x SALT per domain regardless of domain
+    size; phase 2 re-ranks only those <= CAP x SALT x n_domains
+    survivors per domain. Top-N per key is exactly preserved by the
+    two-phase split (any doc in the global top-CAP of its domain is in
+    the top-CAP of its salted group). The oracle is the single-window
+    formulation, so parity also proves the two-phase law. Determinism:
+    (n_chars DESC, doc_id) is a total order on both phases and both
+    engines."""
+    d = table_par(spark, sf_dir, "documents")
+    sub = F.col("doc_id") % 4
+    site = F.col("doc_id") % 23
+    host = F.concat(
+        F.when(sub == 0, F.lit("www."))
+        .when(sub == 1, F.lit(""))
+        .when(sub == 2, F.lit("blog."))
+        .otherwise(F.lit("news.")),
+        F.lit("site"),
+        site.cast("string"),
+        F.when(site % 3 == 0, F.lit(".com"))
+        .when(site % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".co.uk")),
+    )
+    r = d.select("doc_id", "n_chars", host.alias("host")).withColumn(
+        "domain",
+        F.when(
+            F.col("host").endswith(".co.uk"),
+            F.regexp_extract("host", r"([^.]+\.co\.uk)$", 1),
+        ).otherwise(F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)),
+    )
+    from pyspark.sql import Window as W
+
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w1 = W.partitionBy("domain", (F.col("doc_id") % _DOMAIN_CAP_SALT)).orderBy(
+        *order
+    )
+    survivors = (
+        r.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= _DOMAIN_CAP)
+        .drop("_r1")
+    )
+    w2 = W.partitionBy("domain").orderBy(*order)
+    return (
+        survivors.withColumn(
+            "dom_rank", F.row_number().over(w2).cast("int")
+        )
+        .filter(F.col("dom_rank") <= _DOMAIN_CAP)
+        .select("doc_id", "domain", "n_chars", "dom_rank")
+        .orderBy("doc_id")
+    )
