@@ -79,6 +79,8 @@ HEADLINE = (
     "embedding_integrity_audit", # map-only vector validation scan (r7)
     "merge_upsert_customer_balance",  # MERGE upsert as pre-agg'd full-outer join
     "incremental_agg_merge",     # materialized-view partial-agg state merge
+    "corpus_dedup_rounds",       # unrolled historical digest-store dedup (r10)
+    "domain_capped_sample",      # salted two-phase per-domain cap (r10)
 )
 
 

@@ -68,6 +68,18 @@ PROBES = [
     ("doc_bigram_logprob", {"documents": ["doc_id"]}),
     ("domain_doc_stats", {"documents": ["doc_id"]}),
     ("html_boilerplate_extract", {"documents": ["doc_id"]}),
+    # r10 additions: unrolled digest-store dedup is K fixed anti-join
+    # rounds over corpus-keyed digests -> expect ~linear; output stays
+    # ~n_distinct(text) under replication (replicated texts hash
+    # identically, so one global first-seen survivor regardless of k).
+    # The capped sample's salted two-phase top-N bounds phase-2 input
+    # by CAP x SALT x n_domains (corpus-independent) so only phase 1
+    # scales -> expect ~linear; replicas share the same 23 domains
+    # (domain = f(doc_id % 23)), so per-domain load grows k-fold —
+    # exactly the heavy-domain shape the salting exists for — and
+    # output stays pinned at 345 rows.
+    ("corpus_dedup_rounds", {"documents": ["doc_id"]}),
+    ("domain_capped_sample", {"documents": ["doc_id"]}),
     ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
     ("sessionize_events", {"events": ["event_id"]}),
     ("exact_substring_spans", {"documents": ["doc_id"]}),
