@@ -63,6 +63,14 @@ NARROW_BOUNDS = {
     # digests + small ints; bodies only ride broadcasts under defaults
     # (see the no-broadcast degradation test below)
     "line_dedup_across_docs": (88, 0),
+    # K anti-join rounds + in-batch first-seen windows: Catalyst prunes
+    # text at the scan, so every exchange carries (doc_id, batch_id,
+    # 32-hex digest) — measured 54.8 B/rec over 10 exchanges at sf0.1
+    "corpus_dedup_rounds": (88, 0),
+    # salted phase-1 window + bounded phase-2 re-rank: host pruned
+    # after domain extraction, so exchanges carry (doc_id, n_chars,
+    # domain, salt) — measured 55.5 B/rec at sf0.1
+    "domain_capped_sample": (88, 0),
 }
 
 
