@@ -222,8 +222,16 @@ PRIORITY: tuple[str, ...] = (
 # range). Value-identical by design and locally re-verified against
 # the unchanged oracle at sf0.001/sf0.01, but the r9 green row attests
 # the old plan — it needs a fresh r10+ attesting row.
+#
+# Round 10 (2): the r10 sf0.1 parity sweep caught doc_bigram_logprob's
+# doc 4599 landing exactly on the -3.4078655 half-boundary where
+# Spark's and DuckDB's double ROUND disagree; both logprob scorers'
+# avg_logprob switched from ROUND to FLOOR at 6dp (all-IEEE, portable).
+# The old green rows (unigram r8, bigram r9) attest the ROUND values.
 FORCE_RECHECK: dict[str, int] = {
     "line_dedup_across_docs": 10,
+    "doc_unigram_logprob": 10,
+    "doc_bigram_logprob": 10,
 }
 
 

@@ -291,7 +291,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tok.doc_id,
            COUNT(*) AS n_tokens,
            CAST(SUM(lp.logp) AS DOUBLE) AS sum_logprob,
-           ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+           FLOOR(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*) * 1000000) / 1000000.0 AS avg_logprob
     FROM tok JOIN lp ON lp.tok = tok.tok
     GROUP BY tok.doc_id
     ORDER BY tok.doc_id
@@ -306,7 +306,13 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     << corpus is the standing assumption that makes this a map-side
     join. Determinism: each token's ln() is rounded to 6dp then summed
     as exact DECIMAL, so the per-doc sum is merge-order-independent and
-    engine-identical (a raw double sum of logs would drift)."""
+    engine-identical (a raw double sum of logs would drift). avg_logprob
+    is FLOORED at 6dp — floor((sum/n)*1e6)/1e6, all-IEEE ops on a
+    bit-identical input double — because ROUND(double, 6) is NOT
+    portable at half-boundaries: Spark rounds the shortest decimal
+    representation HALF_UP while DuckDB rounds the binary double, and
+    the r10 sf0.1 sweep caught a doc landing exactly on a boundary
+    (the bigram twin, -3.4078655)."""
     d = table_par(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -325,7 +331,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logp").cast("double").alias("sum_logprob"),
         )
         .withColumn(
-            "avg_logprob", F.round(F.col("sum_logprob") / F.col("n_tokens"), 6)
+            "avg_logprob",
+            F.floor(F.col("sum_logprob") / F.col("n_tokens") * 1000000)
+            / F.lit(1000000.0),
         )
         .orderBy("doc_id")
     )
@@ -556,7 +564,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pair.doc_id,
            COUNT(*) AS n_bigrams,
            CAST(SUM(lp.logp) AS DOUBLE) AS sum_logprob,
-           ROUND(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+           FLOOR(CAST(SUM(lp.logp) AS DOUBLE) / COUNT(*) * 1000000) / 1000000.0 AS avg_logprob
     FROM pair JOIN lp ON lp.w1 = pair.w1 AND lp.w2 = pair.w2
     GROUP BY pair.doc_id
     ORDER BY pair.doc_id
@@ -582,7 +590,10 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, so the only corpus-scaled exchanges carry token pairs,
     never documents. Determinism: per-pair ln() rounded to 6dp then
     summed as exact DECIMAL — merge-order-independent, engine-identical
-    (the `doc_unigram_logprob` contract)."""
+    (the `doc_unigram_logprob` contract); avg_logprob FLOORED at 6dp
+    (not ROUND — see `doc_unigram_logprob`'s portability note; the r10
+    sf0.1 sweep caught this query's doc 4599 on the -3.4078655
+    half-boundary where the two engines' double ROUND disagree)."""
     from transit_feed_etl_spark.caching import persist_tracked
 
     d = table_par(spark, sf_dir, "documents")
@@ -630,7 +641,9 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logp").cast("double").alias("sum_logprob"),
         )
         .withColumn(
-            "avg_logprob", F.round(F.col("sum_logprob") / F.col("n_bigrams"), 6)
+            "avg_logprob",
+            F.floor(F.col("sum_logprob") / F.col("n_bigrams") * 1000000)
+            / F.lit(1000000.0),
         )
         .orderBy("doc_id")
     )

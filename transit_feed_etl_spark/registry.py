@@ -16,6 +16,15 @@ insensitive value hash):
 - AVG is expressed as exact-decimal SUM (cast to double) / COUNT so both
   engines perform the identical single double division.
 - Any LIMIT/top-k carries a total tie-breaking ORDER BY.
+- ROUND(double, k) is NOT portable at half-boundaries: Spark rounds the
+  shortest decimal representation HALF_UP while DuckDB rounds the
+  binary double, so a value landing exactly on a .5*10^-k boundary can
+  differ by one ulp of the rounded scale (r10 sf0.1 sweep: bigram
+  avg_logprob -3.4078655). Where the input double is bit-identical on
+  both engines (exact decimal sums, IEEE division), prefer
+  FLOOR(x * 10^k) / 10^k — all-IEEE ops, engine-identical. Existing
+  ROUND columns are kept (10 rounds of 3-sf sweeps back them); any
+  sweep-caught boundary flips to FLOOR with a FORCE_RECHECK entry.
 """
 
 from __future__ import annotations
