@@ -586,3 +586,68 @@ def quality_threshold_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# C4-style blocklist filtering: the "bad words" stage that drops any
+# page containing a blocklisted term. The list is fixed and tiny (real
+# pipelines ship a few hundred terms); 'dup' occurs in ~5% of the
+# synthetic corpus (df=25/500 at sf0.001 — the only moderate-df term in
+# the dense synthetic vocabulary) and 'zzzunseen' deliberately never
+# occurs, exercising the zero-hit path.
+_BLOCKLIST = ("dup", "zzzunseen")
+_BLOCKLIST_SQL = "[" + ", ".join(f"'{t}'" for t in _BLOCKLIST) + "]"
+
+
+@register(
+    "blocklist_filter_verdicts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(COALESCE(LEN(toks), 0) AS INT) AS n_tokens,
+           CAST(COALESCE(LEN(list_filter(toks,
+                x -> list_contains({_BLOCKLIST_SQL}, x))), 0) AS INT)
+             AS n_hits,
+           CAST(COALESCE(LEN(list_filter(list_distinct(toks),
+                x -> list_contains({_BLOCKLIST_SQL}, x))), 0) AS INT)
+             AS n_distinct_hits,
+           CAST(COALESCE(LEN(list_filter(toks,
+                x -> list_contains({_BLOCKLIST_SQL}, x))), 0) AS INT) > 0
+             AS dropped
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def blocklist_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist ("bad words") filtering — the canonical crawl
+    curation stage that DROPS any page containing a blocklisted term
+    (C4 dropped pages on ANY match; RefinedWeb keeps weighted scores —
+    both verdicts are derivable from the emitted counts). Complements
+    `quality_filter_verdicts` (structural repetition rules) with
+    content-term policy filtering.
+
+    Scale design: pure scan-stage projection — the blocklist is a fixed
+    literal array baked into the plan (a few hundred terms in real
+    pipelines; a broadcast lookup only becomes necessary at many
+    thousands), and hit counting is a higher-order array filter over
+    the token array, so the query moves ZERO corpus rows: no explode,
+    no join, no aggregation — the only exchange is the presentation
+    sort. Determinism: counts of exact lowercase token matches; no
+    floats anywhere."""
+    d = table_par(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bl = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    hits = F.filter(toks, lambda x: F.array_contains(bl, x))
+    dhits = F.filter(
+        F.array_distinct(toks), lambda x: F.array_contains(bl, x)
+    )
+    nz = lambda c: F.coalesce(c, F.lit(0)).cast("int")  # noqa: E731
+    return (
+        d.select(
+            "doc_id",
+            nz(F.size(toks)).alias("n_tokens"),
+            nz(F.size(hits)).alias("n_hits"),
+            nz(F.size(dhits)).alias("n_distinct_hits"),
+            (nz(F.size(hits)) > 0).alias("dropped"),
+        )
+        .orderBy("doc_id")
+    )
