@@ -138,6 +138,19 @@ def test_hier_assign_never_shuffles_corpus_without_broadcasts(spark):
         release_caches()
 
 
+def test_blocklist_filter_is_map_only(spark):
+    """`blocklist_filter_verdicts` claims pure scan-stage execution —
+    the fixed literal blocklist is baked into the plan and hit counting
+    is a higher-order array filter, so the query must move ZERO corpus
+    rows: no hash exchange of any width (the only exchanges are the
+    presentation sort and the testdata round-robin workaround)."""
+    ex = audit_query(
+        QUERIES["blocklist_filter_verdicts"].builder(spark, SF)
+    )
+    assert not ex.get("hash"), ex.get("hash")
+    assert not ex.get("single"), ex.get("single")
+
+
 def test_line_dedup_degrades_to_digest_shuffle_without_broadcasts(spark):
     """VERDICT r9 item 4: the r9 shape force-broadcast the >=K
     repeated-line set via an F.broadcast hint — a hint the planner obeys

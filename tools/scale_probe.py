@@ -80,6 +80,9 @@ PROBES = [
     # output stays pinned at 345 rows.
     ("corpus_dedup_rounds", {"documents": ["doc_id"]}),
     ("domain_capped_sample", {"documents": ["doc_id"]}),
+    # map-only scan stage (zero hash exchanges, plan-pinned) -> expect
+    # flat until compute-bound, the html_boilerplate_extract class
+    ("blocklist_filter_verdicts", {"documents": ["doc_id"]}),
     ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
     ("sessionize_events", {"events": ["event_id"]}),
     ("exact_substring_spans", {"documents": ["doc_id"]}),
