@@ -74,6 +74,12 @@ SWEEP_QUERIES = (
     # token/WS pipelines; NULL text must drop out identically
     "doc_bigram_logprob",
     "line_dedup_across_docs",
+    # r10: unrolled digest-store dedup canonicalizes NULL text to ''
+    # before hashing (all NULL/empty docs share one digest — exactly
+    # one survivor); blocklist counts must report 0 hits / kept on
+    # NULL-token rows, not NULL verdicts
+    "corpus_dedup_rounds",
+    "blocklist_filter_verdicts",
 )
 
 
@@ -178,6 +184,12 @@ SAMEDOC_QUERIES = (
     "hash_sample_documents",
     "k_anonymity_audit",
     "training_shard_manifest",
+    # r10: maximal density is the canonical case for historical dedup —
+    # ten identical docs across 4 micro-batch rounds must yield exactly
+    # one survivor (the batch-0 minimum doc_id), and the line-dedup
+    # boilerplate threshold fires on every synthesized line
+    "corpus_dedup_rounds",
+    "line_dedup_across_docs",
 )
 
 

@@ -50,6 +50,10 @@ TEXT_QUERIES = (
     "quality_threshold_prune",
     "doc_bigram_logprob",
     "line_dedup_across_docs",
+    # r10: md5 over unicode text must hash the identical UTF-8 bytes on
+    # both engines; blocklist token matching is exact-lowercase
+    "corpus_dedup_rounds",
+    "blocklist_filter_verdicts",
 )
 
 
