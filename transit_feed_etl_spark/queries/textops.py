@@ -647,3 +647,132 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Corpus distribution-drift monitoring: KL(P||Q) between the token
+# distributions of two corpus snapshots (halves by doc_id parity — the
+# deterministic testdata shim for "last week's crawl vs this week's").
+# Add-one smoothing over the UNION vocabulary keeps every term finite.
+_DRIFT_TOPK = 20
+
+_DRIFT_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    c AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_b
+      FROM t GROUP BY tok
+    ),
+    n AS (
+      SELECT CAST(SUM(c_a) AS BIGINT) AS na, CAST(SUM(c_b) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM c
+    ),
+    m AS (
+      SELECT c.tok, c.c_a, c.c_b,
+             CAST(ROUND(LN(
+               (CAST((c.c_a + 1) AS DOUBLE) * (n.nb + n.v)) /
+               (CAST((c.c_b + 1) AS DOUBLE) * (n.na + n.v))
+             ), 6) AS DECIMAL(18,6)) AS lnr
+      FROM c, n
+    ),
+    s AS (
+      SELECT CAST(SUM((m.c_a + 1) * m.lnr) AS DOUBLE)
+               / (SELECT na + v FROM n) AS total_kl
+      FROM m
+    )
+    SELECT m.tok, m.c_a, m.c_b,
+           CAST(m.lnr AS DOUBLE) AS lnr,
+           CAST((m.c_a + 1) * m.lnr AS DOUBLE)
+             / (SELECT na + v FROM n) AS kl_contrib,
+           s.total_kl
+    FROM m, s
+    ORDER BY (m.c_a + 1) * m.lnr DESC, m.tok
+    LIMIT {_DRIFT_TOPK}
+"""
+
+
+@register("corpus_drift_kl", oracle=_DRIFT_ORACLE)
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot distribution drift: KL(P||Q) between the
+    unigram distributions of two corpus halves (doc_id parity — the
+    deterministic stand-in for consecutive crawl snapshots), with the
+    top-K drift-driving tokens and the corpus-level total. This is the
+    monitoring stage a production pipeline runs after every ingest: a
+    KL spike means the crawl mix shifted (new spam cluster, a source
+    went dark) BEFORE it poisons training. Add-one smoothing over the
+    union vocabulary keeps every term finite when a token exists in
+    only one snapshot.
+
+    Determinism: the transcendental is isolated per token —
+    ln((c_a+1)(NB+V) / ((c_b+1)(NA+V))) over EXACT integer products
+    (< 2^53, so the double division is bit-identical cross-engine) —
+    then rounded at 6dp into DECIMAL (the `doc_unigram_logprob`
+    contract); the KL numerator Σ (c_a+1)·lnr is an exact
+    integer×decimal sum, and the single final double division by
+    (NA+V) is shared by every row. Ranking orders by the exact decimal
+    numerator with tok as total tie-break.
+
+    Scale design: one explode→(tok)-keyed groupBy with partial aggs
+    (the `text_token_stats` exchange class — short token keys, two
+    longs); the three corpus constants reduce to ONE broadcast row;
+    the model/total aggregates are vocab-bounded (<< corpus). No
+    per-doc state anywhere — this runs on the full 100 TB stream at
+    token-count cost."""
+    from transit_feed_etl_spark.caching import persist_tracked
+
+    d = table_par(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    c = t.groupBy("tok").agg(
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)
+        ).cast("bigint").alias("c_a"),
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)
+        ).cast("bigint").alias("c_b"),
+    )
+    c = persist_tracked(c)
+    n = c.agg(
+        F.sum("c_a").cast("bigint").alias("na"),
+        F.sum("c_b").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    m = c.crossJoin(F.broadcast(n)).select(
+        "tok",
+        "c_a",
+        "c_b",
+        F.round(
+            F.log(
+                ((F.col("c_a") + 1).cast("double") * (F.col("nb") + F.col("v")))
+                / ((F.col("c_b") + 1).cast("double") * (F.col("na") + F.col("v")))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lnr"),
+        (F.col("na") + F.col("v")).alias("denom"),
+    )
+    m = persist_tracked(m)
+    num = ((F.col("c_a") + 1) * F.col("lnr")).alias("num")
+    s = m.select(num, "denom").agg(
+        (F.sum("num").cast("double") / F.first("denom")).alias("total_kl")
+    )
+    return (
+        m.select(
+            "tok",
+            "c_a",
+            "c_b",
+            F.col("lnr").cast("double").alias("lnr"),
+            (((F.col("c_a") + 1) * F.col("lnr")).cast("double") / F.col("denom"))
+            .alias("kl_contrib"),
+            ((F.col("c_a") + 1) * F.col("lnr")).alias("_rank"),
+        )
+        .crossJoin(F.broadcast(s))
+        .orderBy(F.col("_rank").desc(), "tok")
+        .limit(_DRIFT_TOPK)
+        .drop("_rank")
+    )
