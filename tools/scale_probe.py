@@ -83,6 +83,11 @@ PROBES = [
     # map-only scan stage (zero hash exchanges, plan-pinned) -> expect
     # flat until compute-bound, the html_boilerplate_extract class
     ("blocklist_filter_verdicts", {"documents": ["doc_id"]}),
+    # token-keyed groupBy partial aggs + vocab-bounded model -> expect
+    # ~linear in the token stream; under replication the vocab is
+    # constant and both halves replicate together, so output (top-20)
+    # and the KL value itself are scale-invariant
+    ("corpus_drift_kl", {"documents": ["doc_id"]}),
     ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
     ("sessionize_events", {"events": ["event_id"]}),
     ("exact_substring_spans", {"documents": ["doc_id"]}),
