@@ -80,6 +80,9 @@ SWEEP_QUERIES = (
     # NULL-token rows, not NULL verdicts
     "corpus_dedup_rounds",
     "blocklist_filter_verdicts",
+    # r10: NULL-text docs contribute zero tokens to either snapshot
+    # half; the smoothed model must stay finite and agree
+    "corpus_drift_kl",
 )
 
 

@@ -54,6 +54,7 @@ TEXT_QUERIES = (
     # both engines; blocklist token matching is exact-lowercase
     "corpus_dedup_rounds",
     "blocklist_filter_verdicts",
+    "corpus_drift_kl",
 )
 
 
