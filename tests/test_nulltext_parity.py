@@ -83,6 +83,7 @@ SWEEP_QUERIES = (
     # r10: NULL-text docs contribute zero tokens to either snapshot
     # half; the smoothed model must stay finite and agree
     "corpus_drift_kl",
+    "incremental_lsh_rounds",
 )
 
 
@@ -193,6 +194,9 @@ SAMEDOC_QUERIES = (
     # boilerplate threshold fires on every synthesized line
     "corpus_dedup_rounds",
     "line_dedup_across_docs",
+    # r10: every pair is a band collision; the incremental store path
+    # must surface the full quadratic candidate set exactly once
+    "incremental_lsh_rounds",
 )
 
 

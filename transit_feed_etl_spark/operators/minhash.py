@@ -82,6 +82,27 @@ def minhash_signature(
     )
 
 
+def lsh_band_keys(n_hashes: int, bands: int) -> Column:
+    """Array of per-band bucket keys over a `_sig` signature column:
+    band b's key hashes its rows_per_band signature slots under a
+    band-salted xxhash64. Shared by the batch pipeline below and the
+    incremental twin (queries/dedup.py::incremental_lsh_rounds) so the
+    two build byte-identical bucket keys."""
+    rows_per_band = n_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at("_sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -96,7 +117,6 @@ def minhash_lsh_pairs(
     """
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
-    rows_per_band = n_hashes // bands
 
     # The signature relation feeds the band self-join (2 plan references)
     # AND both sides of the verification join (2 more). Without
@@ -107,16 +127,7 @@ def minhash_lsh_pairs(
     # callers release via caching.release_caches() after materializing.
     sigs = persist_tracked(minhash_signature(docs, id_col, text_col, n_hashes))
 
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
-    e = sigs.select("_id", band_keys.alias("_bk")).select(
+    e = sigs.select("_id", lsh_band_keys(n_hashes, bands).alias("_bk")).select(
         "_id", F.posexplode("_bk").alias("_band", "_bkey")
     )
     a, b = e.alias("a"), e.alias("b")

@@ -664,3 +664,105 @@ def corpus_dedup_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in survivors[1:]:
         out = out.unionByName(s)
     return out.orderBy("doc_id")
+
+
+# Incremental near-dup index maintenance: the MinHash-LSH analog of
+# `corpus_dedup_rounds` — K micro-batch rounds query the accumulated
+# band-bucket store for collisions, then append their own bands. A
+# colliding pair (x, y) with round(x) < round(y) is found when y
+# arrives (y's bands vs the store); an in-round pair by the in-batch
+# self-join — so the union over rounds is EXACTLY the batch LSH
+# candidate set, and after the same exact-Jaccard verification the
+# output equals `minhash_lsh_candidates` row-for-row.
+_LSH_ROUNDS_K = 4
+
+
+@register("incremental_lsh_rounds", oracle=_JACCARD_PAIRS_SQL)
+def incremental_lsh_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance, unrolled: documents
+    arrive in K=4 deterministic micro-batches (doc_id % K); each round
+    (a) joins its band keys against the PERSISTENT band-bucket store
+    accumulated from every prior round (new-vs-history candidates),
+    (b) self-joins its own bands (in-round candidates), then (c)
+    appends its bands to the store. Exact-Jaccard verification >= 0.35
+    runs once over the union — identical machinery and identical
+    OUTPUT to the batch `minhash_lsh_candidates` rebuild, proven by the
+    shared exact-pairs oracle (the `incremental_agg_merge` /
+    `corpus_dedup_rounds` merge-law framing, applied to the near-dup
+    index). This is the 100 TB operational mode: a daily crawl
+    increment queries + appends a persistent band store instead of
+    re-sketching the whole corpus.
+
+    Scale design: signatures are computed ONCE over the full input
+    (each batch reads its slice of the cached signature relation); the
+    store is (band, bkey, id) rows — 24 B/rec, co-partitionable by
+    (band, bkey) so every round's collision join is key-width and
+    co-located; in-batch and cross joins both ride band-bucket keys,
+    never signatures or shingle sets. Band keys come from the SAME
+    `lsh_band_keys` expression as the batch operator, so bucket
+    assignment is byte-identical between the incremental and batch
+    paths. Recall precondition as `minhash_lsh_candidates` (16x4
+    banding s-curve ~1 at the 0.35 threshold on this corpus)."""
+    d = table(spark, sf_dir, "documents")
+    sigs = persist_tracked(
+        MH.minhash_signature(d, "doc_id", "text", n_hashes=64)
+    )
+    e = persist_tracked(
+        sigs.select(
+            "_id",
+            (F.col("_id") % _LSH_ROUNDS_K).cast("int").alias("_round"),
+            MH.lsh_band_keys(64, 16).alias("_bk"),
+        ).select("_id", "_round", F.posexplode("_bk").alias("_band", "_bkey"))
+    )
+    store = spark.createDataFrame([], "id long, band int, bkey long")
+    cand_frames: list[DataFrame] = []
+    for k in range(_LSH_ROUNDS_K):
+        batch = e.filter(F.col("_round") == k)
+        cross = (
+            batch.join(
+                store,
+                (batch["_band"] == store["band"])
+                & (batch["_bkey"] == store["bkey"]),
+            )
+            .select(
+                F.least(F.col("_id"), F.col("id")).alias("id_a"),
+                F.greatest(F.col("_id"), F.col("id")).alias("id_b"),
+            )
+        )
+        a, b = batch.alias("a"), batch.alias("b")
+        inb = (
+            a.join(
+                b,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._bkey") == F.col("b._bkey"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+        )
+        cand_frames.extend([cross, inb])
+        store = store.unionByName(
+            batch.select(
+                F.col("_id").alias("id"),
+                F.col("_band").alias("band"),
+                F.col("_bkey").alias("bkey"),
+            )
+        )
+    candidates = cand_frames[0]
+    for f in cand_frames[1:]:
+        candidates = candidates.unionByName(f)
+    candidates = candidates.distinct()
+    sh = sigs.select("_id", "_sh")
+    pa, pb = sh.alias("pa"), sh.alias("pb")
+    n_inter = F.size(F.array_intersect(F.col("pa._sh"), F.col("pb._sh")))
+    n_union = F.size(F.col("pa._sh")) + F.size(F.col("pb._sh")) - n_inter
+    jac = n_inter.cast("double") / n_union
+    return (
+        candidates.join(pa, F.col("id_a") == F.col("pa._id"))
+        .join(pb, F.col("id_b") == F.col("pb._id"))
+        .filter(n_union > 0)
+        .filter(jac >= 0.35)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
