@@ -88,6 +88,11 @@ PROBES = [
     # constant and both halves replicate together, so output (top-20)
     # and the KL value itself are scale-invariant
     ("corpus_drift_kl", {"documents": ["doc_id"]}),
+    # signatures once over the corpus; K round joins ride 24 B
+    # band-bucket keys; replication is adversarial for the PAIR OUTPUT
+    # (k^2 true near-dup pairs, the neardup_jaccard_prefix note) so the
+    # signal is the non-pair stages staying ~linear
+    ("incremental_lsh_rounds", {"documents": ["doc_id"]}),
     ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
     ("sessionize_events", {"events": ["event_id"]}),
     ("exact_substring_spans", {"documents": ["doc_id"]}),
