@@ -80,3 +80,27 @@ def test_registered_in_round_entries_still_bind():
             f"an r{row[0]} driver row — prune it. EXPECTED at round start "
             "(ADVICE r7): run python tools/round_start.py for the prune list."
         )
+
+
+def test_inline_eligible_counts_are_generated_and_current():
+    """VERDICT r10 item 4: the §1 registry count drifted by hand three
+    rounds running (r8: 204, r9: 208, r10: 213). Every prose mention of
+    the driver-eligible count now lives in an eligible-count marker
+    span rewritten by tools/staleness_table.py; this pins (a) at least
+    the §1 and §8 spans exist and (b) every span holds exactly
+    len(eligible)."""
+    import re
+
+    from tools.staleness_table import COUNT_BEGIN, COUNT_END
+
+    doc = (Path(__file__).resolve().parent.parent / "VERIFICATION.md").read_text()
+    spans = re.findall(
+        re.escape(COUNT_BEGIN) + r"(.*?)" + re.escape(COUNT_END), doc
+    )
+    assert len(spans) >= 2, "expected the §1 and §8 eligible-count spans"
+    _, table = staleness()
+    for span in spans:
+        assert span == str(len(table)), (
+            f"eligible-count span says {span!r}, registry has {len(table)} "
+            "driver-eligible queries — run python tools/staleness_table.py"
+        )
