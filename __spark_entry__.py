@@ -215,23 +215,18 @@ PRIORITY: tuple[str, ...] = (
 # folds, hier_assign) were all re-attested green in CORRECTNESS_r09 and
 # pruned at round-10 start.
 #
-# Round 10: line_dedup_across_docs was rebuilt (VERDICT r9 item 4 —
-# the forced boilerplate-set broadcast hint replaced by a hint-free
-# narrow-projection flag join + map-side text reconstruction, so the
-# plan degrades to a digest shuffle when the set outgrows broadcast
-# range). Value-identical by design and locally re-verified against
-# the unchanged oracle at sf0.001/sf0.01, but the r9 green row attests
-# the old plan — it needs a fresh r10+ attesting row.
+# Round 10's three entries (line_dedup_across_docs after the hint-free
+# rebuild; both logprob scorers after the ROUND→FLOOR half-boundary
+# fix the sf0.1 sweep forced) were all re-attested green in
+# CORRECTNESS_r10 and pruned at round-11 start.
 #
-# Round 10 (2): the r10 sf0.1 parity sweep caught doc_bigram_logprob's
-# doc 4599 landing exactly on the -3.4078655 half-boundary where
-# Spark's and DuckDB's double ROUND disagree; both logprob scorers'
-# avg_logprob switched from ROUND to FLOOR at 6dp (all-IEEE, portable).
-# The old green rows (unigram r8, bigram r9) attest the ROUND values.
+# Round 11: corpus_drift_kl's lnr switched from ROUND to FLOOR at 6dp
+# (ADVICE r10 — same transcendental half-boundary hazard class as the
+# r10 logprob fix, applied preemptively instead of waiting for a sweep
+# to catch a boundary token). The green r10 row attests the ROUND
+# values; locally re-verified green at sf0.001/0.01/0.1.
 FORCE_RECHECK: dict[str, int] = {
-    "line_dedup_across_docs": 10,
-    "doc_unigram_logprob": 10,
-    "doc_bigram_logprob": 10,
+    "corpus_drift_kl": 11,
 }
 
 

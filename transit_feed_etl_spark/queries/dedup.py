@@ -653,7 +653,15 @@ def corpus_dedup_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors: list[DataFrame] = []
     for k in range(_CORPUS_DEDUP_K):
         batch = base.filter(F.col("batch_id") == k)
-        fresh = dedup_round(batch, store)
+        # persist each round's survivors: fresh is consumed TWICE (the
+        # output union and the next round's store), so the unpersisted
+        # lazy chain embeds round k-1's plan twice inside round k's —
+        # ~2^K logical-plan growth and recomputation (ADVICE r10).
+        # Materializing per round makes plan depth linear in K, exactly
+        # how incremental_lsh_rounds persists its per-round sigs/e (and
+        # how the real foreachBatch body naturally cuts the lineage at
+        # the store parquet write).
+        fresh = persist_tracked(dedup_round(batch, store))
         survivors.append(
             fresh.select("doc_id", "batch_id", F.col("_digest").alias("digest"))
         )

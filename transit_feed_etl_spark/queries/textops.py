@@ -674,24 +674,25 @@ _DRIFT_ORACLE = f"""
     ),
     m AS (
       SELECT c.tok, c.c_a, c.c_b,
-             CAST(ROUND(LN(
+             CAST(FLOOR(LN(
                (CAST((c.c_a + 1) AS DOUBLE) * (n.nb + n.v)) /
                (CAST((c.c_b + 1) AS DOUBLE) * (n.na + n.v))
-             ), 6) AS DECIMAL(18,6)) AS lnr
+             ) * 1000000) AS BIGINT) AS lnr_micro
       FROM c, n
     ),
     s AS (
-      SELECT CAST(SUM((m.c_a + 1) * m.lnr) AS DOUBLE)
-               / (SELECT na + v FROM n) AS total_kl
+      SELECT CAST(SUM(CAST((m.c_a + 1) * m.lnr_micro AS DECIMAL(38,0)))
+                  AS DOUBLE)
+               / ((SELECT na + v FROM n) * 1000000.0) AS total_kl
       FROM m
     )
     SELECT m.tok, m.c_a, m.c_b,
-           CAST(m.lnr AS DOUBLE) AS lnr,
-           CAST((m.c_a + 1) * m.lnr AS DOUBLE)
-             / (SELECT na + v FROM n) AS kl_contrib,
+           m.lnr_micro / 1000000.0 AS lnr,
+           CAST((m.c_a + 1) * m.lnr_micro AS DOUBLE)
+             / ((SELECT na + v FROM n) * 1000000.0) AS kl_contrib,
            s.total_kl
     FROM m, s
-    ORDER BY (m.c_a + 1) * m.lnr DESC, m.tok
+    ORDER BY (m.c_a + 1) * m.lnr_micro DESC, m.tok
     LIMIT {_DRIFT_TOPK}
 """
 
@@ -711,11 +712,15 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the transcendental is isolated per token —
     ln((c_a+1)(NB+V) / ((c_b+1)(NA+V))) over EXACT integer products
     (< 2^53, so the double division is bit-identical cross-engine) —
-    then rounded at 6dp into DECIMAL (the `doc_unigram_logprob`
-    contract); the KL numerator Σ (c_a+1)·lnr is an exact
-    integer×decimal sum, and the single final double division by
-    (NA+V) is shared by every row. Ranking orders by the exact decimal
-    numerator with tok as total tie-break.
+    then FLOORED at 6dp into integer micro-units (ADVICE r10: ROUND on
+    a transcendental double is the exact Spark-vs-DuckDB half-boundary
+    hazard the r10 sweep caught in `doc_bigram_logprob`; FLOOR over
+    bit-identical IEEE doubles is portable — registry.py documents the
+    hazard class). The KL numerator Σ (c_a+1)·lnr_micro is an exact
+    integer sum (DECIMAL(38,0)-widened, order-independent), and the
+    single final double division by (NA+V)·1e6 is shared by every row.
+    Ranking orders by the exact integer numerator with tok as total
+    tie-break.
 
     Scale design: one explode→(tok)-keyed groupBy with partial aggs
     (the `text_token_stats` exchange class — short token keys, two
@@ -745,31 +750,38 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         "c_a",
         "c_b",
-        F.round(
+        F.floor(
             F.log(
                 ((F.col("c_a") + 1).cast("double") * (F.col("nb") + F.col("v")))
                 / ((F.col("c_b") + 1).cast("double") * (F.col("na") + F.col("v")))
-            ),
-            6,
+            )
+            * 1000000
         )
-        .cast("decimal(18,6)")
-        .alias("lnr"),
+        .cast("bigint")
+        .alias("lnr_micro"),
         (F.col("na") + F.col("v")).alias("denom"),
     )
     m = persist_tracked(m)
-    num = ((F.col("c_a") + 1) * F.col("lnr")).alias("num")
+    num = ((F.col("c_a") + 1) * F.col("lnr_micro")).cast("decimal(38,0)").alias(
+        "num"
+    )
     s = m.select(num, "denom").agg(
-        (F.sum("num").cast("double") / F.first("denom")).alias("total_kl")
+        (
+            F.sum("num").cast("double")
+            / (F.first("denom") * F.lit(1000000.0))
+        ).alias("total_kl")
     )
     return (
         m.select(
             "tok",
             "c_a",
             "c_b",
-            F.col("lnr").cast("double").alias("lnr"),
-            (((F.col("c_a") + 1) * F.col("lnr")).cast("double") / F.col("denom"))
-            .alias("kl_contrib"),
-            ((F.col("c_a") + 1) * F.col("lnr")).alias("_rank"),
+            (F.col("lnr_micro") / F.lit(1000000.0)).alias("lnr"),
+            (
+                ((F.col("c_a") + 1) * F.col("lnr_micro")).cast("double")
+                / (F.col("denom") * F.lit(1000000.0))
+            ).alias("kl_contrib"),
+            ((F.col("c_a") + 1) * F.col("lnr_micro")).alias("_rank"),
         )
         .crossJoin(F.broadcast(s))
         .orderBy(F.col("_rank").desc(), "tok")
