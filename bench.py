@@ -81,6 +81,9 @@ HEADLINE = (
     "incremental_agg_merge",     # materialized-view partial-agg state merge
     "corpus_dedup_rounds",       # unrolled historical digest-store dedup (r10)
     "domain_capped_sample",      # salted two-phase per-domain cap (r10)
+    "blocklist_filter_verdicts", # map-only literal-array blocklist gate (r10)
+    "corpus_drift_kl",           # token-distribution KL drift monitor (r10)
+    "incremental_lsh_rounds",    # incremental LSH index maintenance (r10)
 )
 
 

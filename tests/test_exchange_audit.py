@@ -71,6 +71,11 @@ NARROW_BOUNDS = {
     # after domain extraction, so exchanges carry (doc_id, n_chars,
     # domain, salt) — measured 55.5 B/rec at sf0.1
     "domain_capped_sample": (88, 0),
+    # ONE token-keyed groupBy with partial aggs; rows are (token,
+    # count_ref, count_new) and the record count is VOCAB-bounded, not
+    # corpus-bounded — measured 40.0 B/rec at sf0.001; the reference/new
+    # totals reduce to broadcast single rows
+    "corpus_drift_kl": (56, 0),
 }
 
 
@@ -91,6 +96,25 @@ def test_corpus_scaled_hash_exchanges_stay_key_width(name, spark):
     scaled = [(r, w) for r, w in exchanges if r > exempt_below]
     assert scaled, f"{name}: every exchange fell under the exemption"
     assert max(w for _, w in scaled) <= bound, (name, exchanges)
+
+
+def test_incremental_lsh_rounds_moves_band_keys_plus_one_signature_pass(spark):
+    """VERDICT r10 item 3: the incremental LSH index maintains a
+    persistent (band, bkey, id) store across K rounds — every per-round
+    collision/anti join must ship band-bucket keys only (<= 24 B/rec).
+    The ONE allowed wide exchange is the up-front signature assembly
+    (doc_id + 64 minhash ints ~= 334 B/rec, the same labeled exception
+    `minhash_lsh_candidates` carries at 352): it runs ONCE over the
+    arrivals regardless of round count, and the exact-Jaccard
+    verification downstream is candidates-bounded and rides it.
+    Measured at sf0.001: one 333.9 B/rec signature exchange (corpus
+    count) + one 24.0 B/rec band-key exchange."""
+    exchanges = _exchanges("incremental_lsh_rounds", spark)
+    assert exchanges, "expected hash exchanges"
+    wide = [(r, w) for r, w in exchanges if w > 24]
+    assert len(wide) == 1 and wide[0][1] <= 352, exchanges
+    narrow = [(r, w) for r, w in exchanges if w <= 24]
+    assert narrow, exchanges
 
 
 def test_exact_embedding_baseline_moves_vectors_by_design(spark):
