@@ -93,6 +93,13 @@ PROBES = [
     # (k^2 true near-dup pairs, the neardup_jaccard_prefix note) so the
     # signal is the non-pair stages staying ~linear
     ("incremental_lsh_rounds", {"documents": ["doc_id"]}),
+    # incremental SemDeDup: frozen centroids (trained on batch 0 — the
+    # replicas' offset ids keep the original 16 seeds), broadcast-tree
+    # assignment, K cell-keyed round joins. Replication is adversarial
+    # for the PAIR OUTPUT (every vector gains k-1 exact cosine-1.0
+    # copies in its cell -> k^2 pairs, the embedding_neardup_pairs
+    # note); the signal is assignment + store joins staying ~linear
+    ("incremental_semdedup_rounds", {"embeddings": ["vec_id"]}),
     ("merge_upsert_customer_balance", {"events": ["event_id"], "customer": []}),
     ("sessionize_events", {"events": ["event_id"]}),
     ("exact_substring_spans", {"documents": ["doc_id"]}),
@@ -202,6 +209,7 @@ def main() -> int:
     _BUILTIN_EMBEDDING_SECTIONS = (
         "semdedup_prune[cells=16k]",
         "semdedup_sampled[cells=16k,sample=const]",
+        "semdedup_rounds[cells=16k]",
     )
     if pat is None or any(pat.search(n) for n in _BUILTIN_EMBEDDING_SECTIONS):
         need["embeddings"] = sorted(set(need.get("embeddings", [])) | {"vec_id"})
@@ -274,6 +282,46 @@ def main() -> int:
             n = semdedup_pairs_sampled(
                 v, n_cells=n_cells, sample_mod=mod, seeds=seeds
             ).count()
+            best = min(best, time.monotonic() - t0)
+            release_caches()
+            spark.catalog.clearCache()
+        results[name][k] = best
+        print(f"  {name} x{k}: {best:.2f}s ({n} rows)", flush=True)
+
+    # Incremental SemDeDup under the SAME production sizing rule
+    # (cells ∝ corpus keeps per-cell occupancy — and thus both the
+    # in-batch pair scan and each round's new-vs-store join fan-out —
+    # constant). The flat registered query (PROBES) holds cells=16, so
+    # its per-cell occupancy grows k-fold and the pair stages go
+    # quadratic (measured 2.41x/doubling at x4) — the identical
+    # characteristic the flat semdedup_prune shows, and exactly why
+    # SCALE.md's sizing rule exists. Replication remains ADVERSARIAL
+    # for the pair OUTPUT even under the rule: exact duplicates route
+    # to the same cell at any cell count, so k² cosine-1.0 true pairs
+    # are intrinsic to the harness (the embedding_neardup_pairs /
+    # incremental_lsh_rounds note).
+    from transit_feed_etl_spark.queries.similarity import semdedup_rounds
+
+    name = "semdedup_rounds[cells=16k]"
+    results[name] = {}
+    for k in ks if (pat is None or pat.search(name)) else []:
+        n_cells = 16 * k
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            v = table_par(spark, dirs[k], "embeddings").select(
+                "vec_id", VV.as_double("embedding").alias("v")
+            )
+            # explicit seeds: the replicated dirs space ids 10M apart,
+            # so seed_below would collapse cells as k grows (the round-9
+            # sampled-section postmortem above); seed from batch 0
+            samp = v.filter(F.col("vec_id") % 4 == 0)
+            seeds = (
+                samp.orderBy("vec_id")
+                .limit(n_cells)
+                .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            )
+            n = semdedup_rounds(v, n_cells=n_cells, seeds=seeds).count()
             best = min(best, time.monotonic() - t0)
             release_caches()
             spark.catalog.clearCache()
