@@ -1113,3 +1113,194 @@ def domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "domain", "n_chars", "dom_rank")
         .orderBy("doc_id")
     )
+
+
+# Temperature-weighted domain MIXING — the stage after accounting
+# (domain_doc_stats) and capping (domain_capped_sample): decide how
+# much of each domain actually enters the training mix. GPT-3/Pile
+# style alpha-temperature flattening with alpha = 0.5: per-domain
+# sampling mass w_d = sqrt(chars_d), so over-represented domains are
+# down-sampled and the tail is up-weighted relative to raw share; the
+# corpus-level token budget T = total_chars // 2 is split T·w_d/Σw
+# per domain and converted to a deterministic hash acceptance test.
+_MIX_BUDGET_DIV = 2  # target budget = total corpus chars // 2
+
+
+@register(
+    "domain_mixture_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_DOMAIN_HOST_SQL} AS host FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN host LIKE '%.co.uk'
+                  THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             END AS domain,
+             CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) % 1000000 AS h
+      FROM u
+    ),
+    dw AS (
+      SELECT domain, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS weight_micro
+      FROM r GROUP BY domain
+    ),
+    g AS (
+      SELECT CAST(SUM(weight_micro) AS BIGINT) AS m_sum,
+             CAST(SUM(total_chars) AS BIGINT) // {_MIX_BUDGET_DIV} AS t_budget
+      FROM dw
+    ),
+    sel AS (
+      SELECT r.domain,
+             CAST(SUM(CASE WHEN CAST(r.h AS HUGEINT)
+                                * (SELECT m_sum FROM g) * dw.total_chars
+                             < CAST(1000000 AS HUGEINT)
+                                * (SELECT t_budget FROM g) * dw.weight_micro
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sel_docs,
+             CAST(SUM(CASE WHEN CAST(r.h AS HUGEINT)
+                                * (SELECT m_sum FROM g) * dw.total_chars
+                             < CAST(1000000 AS HUGEINT)
+                                * (SELECT t_budget FROM g) * dw.weight_micro
+                       THEN r.n_chars ELSE 0 END) AS BIGINT) AS sel_chars
+      FROM r JOIN dw ON dw.domain = r.domain
+      GROUP BY r.domain
+    )
+    SELECT dw.domain, dw.n_docs, dw.total_chars, dw.weight_micro,
+           CASE WHEN dw.total_chars = 0 OR (SELECT m_sum FROM g) = 0 THEN 0
+                ELSE LEAST(1000000, CAST(FLOOR(1000000.0 *
+                  (CAST((SELECT t_budget FROM g) AS DOUBLE)
+                   * CAST(dw.weight_micro AS DOUBLE))
+                  / (CAST((SELECT m_sum FROM g) AS DOUBLE)
+                     * CAST(dw.total_chars AS DOUBLE))) AS BIGINT))
+           END AS rate_micro,
+           sel.sel_docs, sel.sel_chars
+    FROM dw JOIN sel ON sel.domain = dw.domain
+    ORDER BY dw.domain
+    """,
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted dataset mixing (the GPT-3 / Pile recipe):
+    given per-domain corpus masses, flatten the mix with alpha = 0.5
+    (sampling weight w_d = sqrt(chars_d)), split a corpus-level char
+    budget T = total_chars // 2 across domains in proportion w_d / Σw,
+    and select documents by a DETERMINISTIC hash acceptance test so the
+    sample is reproducible and distributed (no RNG state, no
+    coordination): doc accepted iff
+        hash60(doc_id) % 1e6  <  1e6 · T · w_d / (Σw · chars_d)
+    evaluated as the EXACT integer cross-multiplication
+        h · Σw · chars_d  <  1e6 · T · w_d
+    (DECIMAL(38,0) / HUGEINT products — no division, no floats, so the
+    selection boundary cannot drift between engines; the min(1, rate)
+    cap falls out of the inequality because h < 1e6). The REPORTED
+    rate_micro is the floored per-domain acceptance rate in
+    micro-units; it is display-side only — selection never consumes it.
+
+    Per-domain weights use FLOOR(sqrt(chars)·1e6) micro-units:
+    hardware-rounded IEEE sqrt over an exact integer is bit-identical
+    cross-engine, and flooring into integers makes Σw an exact,
+    order-independent sum (the corpus_drift_kl contract).
+
+    Scale design: two scan passes, each ending in a ~23-key domain
+    groupBy with map-side partial aggs (key-width exchanges); the
+    global (Σw, T) constants reduce to ONE broadcast row, and the
+    per-domain constants ride a broadcast join back onto the second
+    pass — the corpus itself never shuffles. At 100 TB the decimal
+    products stay inside DECIMAL(38,0): h·Σw·chars ≈ 1e6·3e17·1e13 =
+    3e36 < 1e38 even at 1e5 domains of 10 TB each.
+
+    This is the missing third stage of the domain-curation trio:
+    `domain_doc_stats` measures the mix, `domain_capped_sample` caps
+    per-domain document counts, and this query produces the actual
+    temperature-flattened training-mix sample."""
+    from transit_feed_etl_spark.operators import minhash as MH
+
+    d = table_par(spark, sf_dir, "documents")
+    sub = F.col("doc_id") % 4
+    site = F.col("doc_id") % 23
+    host = F.concat(
+        F.when(sub == 0, F.lit("www."))
+        .when(sub == 1, F.lit(""))
+        .when(sub == 2, F.lit("blog."))
+        .otherwise(F.lit("news.")),
+        F.lit("site"),
+        site.cast("string"),
+        F.when(site % 3 == 0, F.lit(".com"))
+        .when(site % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".co.uk")),
+    )
+    r = (
+        d.select("doc_id", "n_chars", host.alias("host"))
+        .withColumn(
+            "domain",
+            F.when(
+                F.col("host").endswith(".co.uk"),
+                F.regexp_extract("host", r"([^.]+\.co\.uk)$", 1),
+            ).otherwise(F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)),
+        )
+        .withColumn(
+            "h",
+            MH.portable_hash60(F.col("doc_id").cast("string")) % 1000000,
+        )
+    )
+    dw = r.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.floor(F.sqrt(F.sum("n_chars").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+    g = dw.agg(
+        F.sum("weight_micro").cast("bigint").alias("m_sum"),
+        F.sum("total_chars").cast("bigint").alias("tc"),
+    ).select("m_sum", F.expr(f"tc div {_MIX_BUDGET_DIV}").alias("t_budget"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    accept = (dec("h") * dec("m_sum") * dec("total_chars")) < (
+        F.lit(1000000).cast("decimal(38,0)") * dec("t_budget") * dec("weight_micro")
+    )
+    sel = (
+        r.join(F.broadcast(dw.select("domain", "total_chars", "weight_micro")), "domain")
+        .crossJoin(F.broadcast(g))
+        .groupBy("domain")
+        .agg(
+            F.sum(F.when(accept, 1).otherwise(0)).cast("bigint").alias("sel_docs"),
+            F.sum(F.when(accept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("sel_chars"),
+        )
+    )
+    rate = F.when(
+        (F.col("total_chars") == 0) | (F.col("m_sum") == 0), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.col("t_budget").cast("double")
+                    * F.col("weight_micro").cast("double")
+                )
+                / (
+                    F.col("m_sum").cast("double")
+                    * F.col("total_chars").cast("double")
+                )
+            ).cast("bigint"),
+        )
+    )
+    return (
+        dw.join(sel, "domain")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "domain",
+            "n_docs",
+            "total_chars",
+            "weight_micro",
+            rate.alias("rate_micro"),
+            "sel_docs",
+            "sel_chars",
+        )
+        .orderBy("domain")
+    )
