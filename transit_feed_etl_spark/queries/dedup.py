@@ -448,6 +448,113 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "softdedup_weights",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS canonical_id
+           FROM reach GROUP BY node),
+    sz AS (SELECT canonical_id, COUNT(*) AS n FROM cc GROUP BY canonical_id),
+    j AS (
+      SELECT d.doc_id,
+             COALESCE(cc.canonical_id, d.doc_id) AS canonical_id,
+             COALESCE(sz.n, 1) AS cluster_size
+      FROM documents d
+      LEFT JOIN cc ON cc.doc_id = d.doc_id
+      LEFT JOIN sz ON sz.canonical_id = cc.canonical_id
+    ),
+    eff AS (
+      SELECT CAST(SUM(1000000 // cluster_size) AS BIGINT) AS eff_docs_micro
+      FROM j
+    )
+    SELECT j.doc_id, j.canonical_id,
+           CAST(j.cluster_size AS INT) AS cluster_size,
+           CAST(1000000 // j.cluster_size AS BIGINT) AS weight_micro,
+           (SELECT eff_docs_micro FROM eff) AS eff_docs_micro
+    FROM j
+    ORDER BY j.doc_id
+    """,
+)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication (the SlimPajama/D4-style alternative to
+    dropping): every document stays in the corpus but near-duplicate
+    clusters share one document's worth of sampling mass — per-doc
+    training weight 1/cluster_size, singletons weight 1. Down-weighting
+    preserves rare in-cluster variation that hard dedup
+    (`dedup_keep_best`) discards, while still flattening boilerplate:
+    the epoch-level expected contribution of a 1000-copy template is
+    one document. Output is the per-doc weight table a sampling loader
+    consumes (doc_id, canonical_id, cluster_size, weight) plus the
+    corpus EFFECTIVE size Σ weights — the number that replaces raw doc
+    count in epoch budgeting.
+
+    Weights are exact integers (micro-units, 1000000 div cluster_size),
+    so the per-doc values and the corpus-wide effective-size sum are
+    order-independent and engine-exact — no float division anywhere.
+
+    Scale design: identical pair/CC machinery to `dedup_clusters`
+    (prefix-filtered exact-Jaccard pairs -> min-label propagation, all
+    key-width rounds); the weight assignment is one doc_id-keyed left
+    join of the corpus id list against the (smaller) clustered set plus
+    a canonical-keyed size aggregate — both key-width — and the
+    effective size reduces to ONE broadcast row. Value-level oracle:
+    the recursive reachability CTE + the same integer weight law."""
+    from transit_feed_etl_spark.operators.components import connected_components
+    from transit_feed_etl_spark.operators.prefixfilter import jaccard_prefix_pairs
+
+    d = table_par(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("toks"))
+    sh = persist_tracked(
+        toks.select(
+            "doc_id", F.array_distinct(TX.word_shingles(F.col("toks"), 3)).alias("sh")
+        )
+    )
+    sh.count()  # materialize before the 4-way pair-join reuse
+    pairs = persist_tracked(
+        jaccard_prefix_pairs(sh, id_col="doc_id", set_col="sh", threshold=0.35)
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+    sz = cc.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        d.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .join(sz, "canonical_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+            F.coalesce("n", F.lit(1)).alias("cluster_size"),
+        )
+    )
+    j = j.withColumn(
+        "weight_micro", F.expr("1000000 div cluster_size").cast("bigint")
+    )
+    eff = j.agg(F.sum("weight_micro").cast("bigint").alias("eff_docs_micro"))
+    return (
+        j.crossJoin(F.broadcast(eff))
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            "weight_micro",
+            "eff_docs_micro",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "sorted_neighborhood_pairs",
     oracle="""
     WITH r AS (
