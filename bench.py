@@ -84,6 +84,9 @@ HEADLINE = (
     "blocklist_filter_verdicts", # map-only literal-array blocklist gate (r10)
     "corpus_drift_kl",           # token-distribution KL drift monitor (r10)
     "incremental_lsh_rounds",    # incremental LSH index maintenance (r10)
+    "incremental_semdedup_rounds",  # incremental semantic dedup (r11)
+    "domain_mixture_sample",     # temperature-weighted dataset mixing (r11)
+    "softdedup_weights",         # soft dedup: per-doc sampling weights (r11)
 )
 
 

@@ -76,6 +76,18 @@ NARROW_BOUNDS = {
     # corpus-bounded — measured 40.0 B/rec at sf0.001; the reference/new
     # totals reduce to broadcast single rows
     "corpus_drift_kl": (56, 0),
+    # two domain-keyed groupBys (partial-agg rows: domain + 2-3 longs,
+    # measured 40-48 B/rec) + one broadcast constants row; selection
+    # constants ride a broadcast join back onto the scan
+    "domain_mixture_sample": (56, 0),
+    # CC label-propagation rounds (node, label) + the doc_id-keyed
+    # weight join — measured 24 B/rec; same class as dedup_clusters
+    "softdedup_weights": (48, 0),
+    # corpus-scaled rows are the 40 B per-vector prune outputs; the
+    # <=160-record exemption covers the Lloyd per-cell decimal-sum
+    # partials (corpus-INDEPENDENT record count, ~2.3 KB rows), exactly
+    # the semdedup_prune / semdedup_prune_sampled contract
+    "incremental_semdedup_rounds": (56, 160),
 }
 
 

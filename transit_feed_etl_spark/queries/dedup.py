@@ -767,8 +767,16 @@ def corpus_dedup_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materializing per round makes plan depth linear in K, exactly
         # how incremental_lsh_rounds persists its per-round sigs/e (and
         # how the real foreachBatch body naturally cuts the lineage at
-        # the store parquet write).
-        fresh = persist_tracked(dedup_round(batch, store))
+        # the store parquet write). PRUNE to the key columns BEFORE the
+        # persist boundary: a cache materializes every column it is
+        # handed, so persisting dedup_round's raw output would drag the
+        # text bodies into the cached subtree's window/anti-join
+        # exchanges (~400 B/rec measured) where the lazy plan let
+        # Catalyst prune them to digest width (the 54.8 B/rec audit
+        # contract this file claims).
+        fresh = persist_tracked(
+            dedup_round(batch, store).select("doc_id", "batch_id", "_digest")
+        )
         survivors.append(
             fresh.select("doc_id", "batch_id", F.col("_digest").alias("digest"))
         )
