@@ -528,3 +528,76 @@ def test_watermark_boundary_event_exactly_at_watermark_is_kept(spark, tmp_path):
     assert out.get((12, 20, "click")) == 1  # exactly-at-watermark kept
     assert (12, 15, "click") not in out  # window end == watermark: dropped
     assert out.get((12, 30, "view")) == 1
+
+
+def test_semdedup_stream_equals_batch_twin(spark, tmp_path):
+    """The streaming semantic dedup (streaming/semdedup.py) must emit
+    EXACTLY the verdicts of the registered batch twin
+    (`semdedup_rounds`, whose oracle proves the from-scratch merge law)
+    when fed the same vectors in the same micro-batch order: centroids
+    train once on the first batch and freeze (the ensure_centroids rule
+    matches the twin's batch-0 modular sample because the test ids are
+    dense, so `vec_id % 2 == 0` IS the first spool file), the arrival
+    store accumulates across separate stream RUNS (persistent state,
+    not a watermark), and a later batch's duplicate of an earlier
+    arrival is pruned with the earlier id as keeper."""
+    import json as _json
+
+    from transit_feed_etl_spark.operators import vectors as V
+    from transit_feed_etl_spark.queries.similarity import semdedup_rounds
+    from transit_feed_etl_spark.streaming.semdedup import start_semdedup_stream
+
+    # 12 deterministic 64-d vectors (kmeans_train pins the embeddings
+    # table's EMB_DIM=64 contract) in two clear clusters + mild noise;
+    # even ids = batch 0 (the training snapshot), odd ids = batch 1.
+    def vec(i: int) -> list[float]:
+        base = [1.0, 0.0, 0.2, 0.0] if i % 3 else [0.0, 1.0, 0.0, 0.2]
+        return [
+            round(base[d % 4] + 0.01 * ((i + d) % 5), 6) for d in range(64)
+        ]
+
+    rows = [(i, vec(i)) for i in range(12)]
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    out = str(tmp_path / "verdicts")
+    store = str(tmp_path / "store")
+    cent = str(tmp_path / "centroids")
+    ckpt = str(tmp_path / "ckpt")
+
+    def spool_file(name, batch_rows):
+        (spool / name).write_text(
+            "\n".join(
+                _json.dumps({"vec_id": i, "embedding": v})
+                for i, v in batch_rows
+            )
+            + "\n"
+        )
+
+    # run 1: batch 0 (even ids) — trains + freezes the centroids
+    spool_file("b0.json", [r for r in rows if r[0] % 2 == 0])
+    q = start_semdedup_stream(spark, str(spool), out, store, cent, ckpt,
+                              n_cells=4)
+    q.awaitTermination(120)
+    # run 2 (separate stream run, same stores): batch 1 (odd ids)
+    spool_file("b1.json", [r for r in rows if r[0] % 2 == 1])
+    q = start_semdedup_stream(spark, str(spool), out, store, cent, ckpt,
+                              n_cells=4)
+    q.awaitTermination(120)
+
+    got = {
+        (r["vec_id"], r["cell"], r["keeper_id"], r["max_cos6"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    v = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select("vec_id", V.as_double("embedding").alias("v"))
+    want_df = semdedup_rounds(v, n_cells=4, k_batches=2)
+    want = {
+        (r["vec_id"], r["cell"], r["keeper_id"], r["max_cos6"])
+        for r in want_df.collect()
+    }
+    assert got == want and got, (sorted(got), sorted(want))
+    # the arrival store holds every arrival (soft precedence state),
+    # not just survivors
+    assert spark.read.parquet(store).count() == 12

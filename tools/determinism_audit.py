@@ -6,8 +6,9 @@ oracle-parity gate cannot see. ~8 min at sf0.01; run before a round
 hand-off, not in the pytest loop.
 
 Usage: python tools/determinism_audit.py [sf_dir]
-Last clean run: 208/208 deterministic at sf0.01 (round 9, all four r9
-registrations and the rebuilt kmeans/hier_assign path included).
+Last clean run: 216/216 deterministic at sf0.01 (round 11 — all three
+r11 registrations, the floored corpus_drift_kl, and the re-persisted
+corpus_dedup_rounds included). Round-10: 213/213. Round-9: 208/208.
 Round-8: 204/204. Round-7: 199/199. Round-6 note kept below for
 the re-audit protocol: 198/198 (round 6; the six
 queries whose outputs changed after that run — the oracle promotions,

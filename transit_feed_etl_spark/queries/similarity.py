@@ -2522,7 +2522,16 @@ def semdedup_rounds(
     """The incremental SemDeDup pipeline over a (vec_id, v) frame with
     parameterized sizing — the registered query pins the constants so
     the unrolled oracle stays tractable; tools/scale_probe.py calls
-    this directly with cells grown with the corpus."""
+    this directly with cells grown with the corpus.
+
+    Rounds are built from the STREAMING module's own `semdedup_round`
+    (streaming/semdedup.py), so the driver CORRECTNESS row attests the
+    very plan the foreachBatch body runs — the `corpus_dedup_rounds` /
+    `dedup_round` construction. Per-round verdicts union to the global
+    recompute because a vector's verdict is final the round it arrives
+    (its pairs are all in-batch or vs strictly-earlier arrivals)."""
+    from transit_feed_etl_spark.streaming.semdedup import semdedup_round
+
     samp = v.filter(F.col("vec_id") % k_batches == 0)
     cent = persist_tracked(
         kmeans_train(
@@ -2538,58 +2547,19 @@ def semdedup_rounds(
         .withColumn("nrm", V.l2_norm(F.col("v")))
         .withColumn("batch_id", (F.col("vec_id") % k_batches).cast("int"))
     )
-    cos6 = F.round(
-        V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
-
-    def _a(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col("cell").alias("cell_a"),
-            F.col("vec_id").alias("ida"),
-            F.col("v").alias("va"),
-            F.col("nrm").alias("na"),
-        )
-
-    def _b(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col("cell").alias("cell_b"),
-            F.col("vec_id").alias("idb"),
-            F.col("v").alias("vb"),
-            F.col("nrm").alias("nb"),
-        )
-
     store: DataFrame | None = None
     rounds: list[DataFrame] = []
     for k in range(k_batches):
         arr = m.filter(F.col("batch_id") == k)
-        y = _b(arr)
-        # in-batch pairs: arrival order inside one batch is id order
-        cand = _a(arr).join(
-            y, (F.col("cell_a") == F.col("cell_b")) & (F.col("ida") < F.col("idb"))
-        )
-        if store is not None:
-            # new-vs-history: everything in the store precedes the
-            # whole batch, so the cell equijoin needs no id condition
-            cand = cand.unionByName(
-                _a(store).join(y, F.col("cell_a") == F.col("cell_b"))
-            )
-        rounds.append(
-            cand.select("cell_b", "ida", "idb", cos6.alias("cos6")).filter(
-                F.col("cos6") >= tau
-            )
-        )
+        rounds.append(semdedup_round(arr, store, tau))
         store = arr if store is None else store.unionByName(arr)
-    allp = rounds[0]
+    allv = rounds[0]
     for r in rounds[1:]:
-        allp = allp.unionByName(r)
+        allv = allv.unionByName(r)
     return (
-        allp.groupBy(F.col("idb").alias("vec_id"))
-        .agg(
-            F.min("cell_b").cast("int").alias("cell"),
-            F.min("ida").cast("bigint").alias("keeper_id"),
-            F.max("cos6").alias("max_cos6"),
+        allv.withColumn(
+            "batch_id", (F.col("vec_id") % k_batches).cast("int")
         )
-        .withColumn("batch_id", (F.col("vec_id") % k_batches).cast("int"))
         .select("vec_id", "batch_id", "cell", "keeper_id", "max_cos6")
         .orderBy("vec_id")
     )

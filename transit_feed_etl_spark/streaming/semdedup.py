@@ -1,0 +1,203 @@
+"""Incremental semantic dedup: SemDeDup over an embedding stream
+against PERSISTENT centroid + arrival stores — the streaming face of
+`queries/similarity.py::incremental_semdedup_rounds` (the driver-oracled
+batch twin builds its rounds from THIS module's `semdedup_round`, so the
+green CORRECTNESS row attests the very plan the foreachBatch body runs —
+the same construction as streaming/corpus_dedup.py and its
+`corpus_dedup_rounds` twin).
+
+This is the daily-increment operational mode: a crawl delivers embedding
+micro-batches forever; each arrival must be checked against the WHOLE
+history of its cell, not a watermark (yesterday's semantic duplicate is
+still a duplicate).
+
+Scale design:
+- The CENTROID store is trained once (first batch) and then FROZEN:
+  retraining per increment would silently re-partition every historical
+  cell and invalidate the stored assignments. Assignment routes through
+  the broadcast-tree `hier_assign` walk — the stream never shuffles
+  during assignment.
+- The ARRIVAL store holds (cell, vec_id, v, nrm) for ALL arrivals, not
+  just survivors: the SemDeDup prune decision is precedence-based, not
+  survivor-transitive (a new vector is pruned if ANY earlier arrival in
+  its cell is cosine-similar, pruned or not). At 100 TB the store is a
+  cell-bucketed table, so each batch's new-vs-history join co-partitions
+  against it WITHOUT reshuffling history; per-batch cost is
+  O(|batch| x cell-occupancy), independent of history length.
+- Verdicts are materialized (localCheckpoint) BEFORE the batch is
+  appended to the store — a lazy verdict plan re-evaluated after the
+  append would pair arrivals against themselves via the store and
+  prune everything with cos 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+_TAU = 0.25  # queries/similarity.py::_SEMDEDUP_TAU (kept in sync by test)
+
+
+def semdedup_round(
+    batch: DataFrame, store: DataFrame | None, tau: float = _TAU
+) -> DataFrame:
+    """Pure-plan core of one semantic-dedup round, shared by the
+    streaming foreachBatch body below and the registered batch twin
+    (queries/similarity.py:semdedup_rounds — the driver-oracled face of
+    this operator). `batch` and `store` carry (vec_id, cell, v, nrm);
+    the store holds strictly-earlier arrivals. Scans in-batch pairs
+    (cell equijoin + id< — arrival order inside one batch is id order)
+    and new-vs-history pairs (cell equijoin only: everything in the
+    store precedes the whole batch), and returns per-arrival prune
+    verdicts (vec_id, cell, keeper_id, max_cos6). A vector's verdict is
+    final the round it arrives, so per-round verdicts union to the
+    global recompute — the merge law the batch twin's oracle proves."""
+    cos6 = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+
+    def _a(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("cell").alias("cell_a"),
+            F.col("vec_id").alias("ida"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+
+    y = batch.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cand = _a(batch).join(
+        y, (F.col("cell_a") == F.col("cell_b")) & (F.col("ida") < F.col("idb"))
+    )
+    if store is not None:
+        cand = cand.unionByName(
+            _a(store).join(y, F.col("cell_a") == F.col("cell_b"))
+        )
+    pairs = cand.select("cell_b", "ida", "idb", cos6.alias("cos6")).filter(
+        F.col("cos6") >= tau
+    )
+    return (
+        pairs.groupBy(F.col("idb").alias("vec_id"))
+        .agg(
+            F.min("cell_b").cast("int").alias("cell"),
+            F.min("ida").cast("bigint").alias("keeper_id"),
+            F.max("cos6").alias("max_cos6"),
+        )
+    )
+
+
+def _dot(a, b):
+    from transit_feed_etl_spark.operators import vectors as V
+
+    return V.dot(a, b)
+
+
+def _assigned(v: DataFrame, cent: DataFrame, n_cells: int) -> DataFrame:
+    """(vec_id, cell, v, nrm) via the frozen-centroid broadcast-tree
+    walk, with the store-stable column types."""
+    from transit_feed_etl_spark.operators import vectors as V
+    from transit_feed_etl_spark.queries.similarity import hier_assign
+
+    return (
+        hier_assign(v, cent, n_cells=n_cells)
+        .withColumn("nrm", V.l2_norm(F.col("v")))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            "v",
+            "nrm",
+        )
+    )
+
+
+def ensure_centroids(
+    spark: SparkSession,
+    cent_path: str,
+    first_batch: DataFrame,
+    n_cells: int,
+    iters: int = 3,
+) -> DataFrame:
+    """Read the persistent centroid store, or train it ONCE on the first
+    batch (seeds = its n_cells lowest vec_ids, the deterministic rule
+    the batch twin's oracle unrolls) and freeze it. Frozen centroids are
+    the production posture — see module doc."""
+    from transit_feed_etl_spark.queries.similarity import kmeans_train
+
+    try:
+        return spark.read.parquet(cent_path)
+    except AnalysisException:
+        seeds = (
+            first_batch.orderBy("vec_id")
+            .limit(n_cells)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
+        cent = kmeans_train(
+            first_batch, iters=iters, n_cells=n_cells, seeds=seeds
+        ).localCheckpoint()
+        cent.write.mode("overwrite").parquet(cent_path)
+        return cent
+
+
+def semdedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    cent_path: str,
+    n_cells: int = 16,
+    tau: float = _TAU,
+) -> DataFrame:
+    """One foreachBatch body: assign the batch to cells with the frozen
+    centroids (training them if this is the first batch ever), compute
+    prune verdicts against the arrival store + in-batch, append the
+    batch's arrivals to the store, and return the verdicts (already
+    materialized — see module doc)."""
+    spark = batch.sparkSession
+    cent = ensure_centroids(spark, cent_path, batch, n_cells)
+    m = _assigned(batch, cent, n_cells)
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:
+        store = None
+    verdicts = semdedup_round(m, store, tau).localCheckpoint()
+    # snapshot BEFORE the store append (see module doc)
+    m.write.mode("append").parquet(store_path)
+    return verdicts
+
+
+def start_semdedup_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    out_dir: str,
+    store_path: str,
+    cent_path: str,
+    checkpoint_dir: str,
+    n_cells: int = 16,
+    tau: float = _TAU,
+):
+    """File-source embedding stream -> incremental semantic dedup ->
+    parquet verdict sink. availableNow trigger: drains whatever is
+    spooled, then stops — run per ingestion cycle, or swap in a
+    processingTime trigger for continuous operation."""
+    from transit_feed_etl_spark.operators import vectors as V
+
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").json(
+        spool_dir
+    )
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        v = batch.select("vec_id", V.as_double("embedding").alias("v"))
+        verdicts = semdedup_batch_against_store(
+            v, store_path, cent_path, n_cells=n_cells, tau=tau
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
