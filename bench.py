@@ -512,20 +512,30 @@ def _artifacts(
     round 5's three 39-entry dicts pushed the line to ~4.5k chars and
     the round's BENCH artifact landed with `parsed: null` (VERDICT r5
     Missing #1). The stdout line therefore carries exactly the driver
-    contract (metric/value/unit/queries/sf) plus two scalars; medians
-    and dispersion go to bench_detail.json, which _prev_bench promotes
-    to the median gate when it provably matches the committed anchor."""
+    contract (metric/value/unit/queries/sf); medians, dispersion,
+    pass count, and the median total go to bench_detail.json, which
+    _prev_bench promotes to the median gate when it provably matches
+    the committed anchor.
+
+    Round 11 layout decision (the headroom test forcing it is
+    tests/test_bench_gate.py::test_stdout_line_fits_driver_capture):
+    at 55 headline entries the 3dp map outgrew the budget, so stdout
+    query values are 2dp (ample for a 1.5x min gate) and the
+    value_median/passes scalars are sidecar-only. The sidecar's
+    `queries` map stays BYTE-equal to the stdout map — that equality is
+    the tie that lets _sidecar_detail trust the medians."""
+    q2 = {n: round(v, 2) for n, v in timings.items()}
     out = {
         "metric": "headline_query_wall_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "value_median": round(sum(medians.values()), 3),
-        "passes": passes,
+        "queries": q2,
         "sf": sf,
     }
     detail = {
         **out,
+        "value_median": round(sum(medians.values()), 3),
+        "passes": passes,
         "queries_median": medians,
         "queries_spread_pct": spread_pct,
     }

@@ -191,10 +191,18 @@ def test_stdout_line_fits_driver_capture():
     line = json.dumps(out)
     # 100 chars of headroom under the measured hard truncation forces a
     # layout decision (shorter names / trimmed payload) before growth
-    # ever reaches the capture limit
+    # ever reaches the capture limit. Round 11 made that decision when
+    # the 55-entry 3dp map outgrew the budget: stdout query values are
+    # 2dp and value_median/passes are sidecar-only.
     assert len(line) < bench.DRIVER_TAIL_CAPTURE - 100, len(line)
-    assert out["queries"] == t and "queries_median" not in out
+    assert out["queries"] == {n: 123.46 for n in t}
+    assert "queries_median" not in out and "value_median" not in out
     assert detail["queries_median"] == t and detail["queries_spread_pct"]
+    assert detail["value_median"] == round(123.456 * len(t), 3)
+    assert detail["passes"] == 3
+    # the sidecar's min map must stay BYTE-equal to the stdout map —
+    # that equality is _sidecar_detail's anchor tie
+    assert detail["queries"] == out["queries"]
 
 
 def test_driver_tail_capture_constant_matches_committed_anchors():
