@@ -220,14 +220,10 @@ PRIORITY: tuple[str, ...] = (
 # fix the sf0.1 sweep forced) were all re-attested green in
 # CORRECTNESS_r10 and pruned at round-11 start.
 #
-# Round 11: corpus_drift_kl's lnr switched from ROUND to FLOOR at 6dp
-# (ADVICE r10 — same transcendental half-boundary hazard class as the
-# r10 logprob fix, applied preemptively instead of waiting for a sweep
-# to catch a boundary token). The green r10 row attests the ROUND
-# values; locally re-verified green at sf0.001/0.01/0.1.
-FORCE_RECHECK: dict[str, int] = {
-    "corpus_drift_kl": 11,
-}
+# Round 11's entry (corpus_drift_kl after the preemptive ROUND→FLOOR
+# lnr repin) was re-attested green in CORRECTNESS_r11 and pruned at
+# round-12 start.
+FORCE_RECHECK: dict[str, int] = {}
 
 
 def _effective_green(
