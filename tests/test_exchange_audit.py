@@ -28,7 +28,7 @@ import os
 
 import pytest
 
-from tools.exchange_audit import audit_query
+from tools.exchange_audit import audit_query, hermetic_audit
 from transit_feed_etl_spark.queries import QUERIES
 
 # honor the same testdata override as conftest.py (ADVICE r8)
@@ -92,7 +92,12 @@ NARROW_BOUNDS = {
 
 
 def _exchanges(name, spark):
-    ex = audit_query(QUERIES[name].builder(spark, SF))
+    # hermetic: pin plan-affecting confs to session-build values and
+    # drop all caches around build+measure, so a foreign test's cached
+    # subtree or leaked conf cannot perturb the measured plan (VERDICT
+    # r11 item 2 — the incremental_semdedup_rounds contract failed in
+    # full-suite order only)
+    ex = hermetic_audit(lambda: QUERIES[name].builder(spark, SF), spark)
     return [
         (e["records"], e["data_bytes"] / e["records"])
         for e in ex.get("hash", [])
@@ -107,7 +112,12 @@ def test_corpus_scaled_hash_exchanges_stay_key_width(name, spark):
     bound, exempt_below = NARROW_BOUNDS[name]
     scaled = [(r, w) for r, w in exchanges if r > exempt_below]
     assert scaled, f"{name}: every exchange fell under the exemption"
-    assert max(w for _, w in scaled) <= bound, (name, exchanges)
+    offending = [(r, round(w, 1)) for r, w in scaled if w > bound]
+    assert not offending, (
+        f"{name}: corpus-scaled hash exchanges over {bound} B/rec "
+        f"(records, B/rec): {offending}; all hash exchanges: "
+        f"{[(r, round(w, 1)) for r, w in exchanges]}"
+    )
 
 
 def test_incremental_lsh_rounds_moves_band_keys_plus_one_signature_pass(spark):
@@ -127,6 +137,40 @@ def test_incremental_lsh_rounds_moves_band_keys_plus_one_signature_pass(spark):
     assert len(wide) == 1 and wide[0][1] <= 352, exchanges
     narrow = [(r, w) for r, w in exchanges if w <= 24]
     assert narrow, exchanges
+
+
+def test_hermetic_audit_immune_to_leaked_conf_and_foreign_cache(spark):
+    """Pin the hermeticity fix itself (VERDICT r11 item 2): simulate
+    both leakage channels that made the width contract order-dependent
+    in the full suite — a plan-affecting conf left un-restored by an
+    earlier test, and a foreign cached relation whose plan fragment
+    CacheManager would graft into this query's plan — then assert the
+    hermetic measurement still satisfies the contract, and that the
+    leaked conf is restored (not clobbered to the session default)
+    after measurement."""
+    from transit_feed_etl_spark.io import table_par
+
+    name = "incremental_semdedup_rounds"
+    bound, exempt_below = NARROW_BOUNDS[name]
+    # channel 1: leaked conf — broadcasts off turns every broadcast
+    # join into a hash exchange if the pin fails
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # channel 2: foreign cache — persist the embeddings scan (a
+    # fragment of the semdedup plan) so CacheManager would substitute
+    # an InMemoryTableScan materialized outside the measurement
+    foreign = table_par(spark, SF, "embeddings").persist()
+    foreign.count()
+    try:
+        exchanges = _exchanges(name, spark)
+        scaled = [(r, w) for r, w in exchanges if r > exempt_below]
+        assert scaled and max(w for _, w in scaled) <= bound, exchanges
+        # the leaked value is the caller's state: restored, not reset
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        foreign.unpersist()
 
 
 def test_exact_embedding_baseline_moves_vectors_by_design(spark):
@@ -180,8 +224,8 @@ def test_blocklist_filter_is_map_only(spark):
     is a higher-order array filter, so the query must move ZERO corpus
     rows: no hash exchange of any width (the only exchanges are the
     presentation sort and the testdata round-robin workaround)."""
-    ex = audit_query(
-        QUERIES["blocklist_filter_verdicts"].builder(spark, SF)
+    ex = hermetic_audit(
+        lambda: QUERIES["blocklist_filter_verdicts"].builder(spark, SF), spark
     )
     assert not ex.get("hash"), ex.get("hash")
     assert not ex.get("single"), ex.get("single")
