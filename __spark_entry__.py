@@ -223,7 +223,40 @@ PRIORITY: tuple[str, ...] = (
 # Round 11's entry (corpus_drift_kl after the preemptive ROUND→FLOOR
 # lnr repin) was re-attested green in CORRECTNESS_r11 and pruned at
 # round-12 start.
-FORCE_RECHECK: dict[str, int] = {}
+#
+# Round 12: the COSINE FAMILY's fractional-scale roundings switched
+# from ROUND to FLOOR on both engines (VERDICT r11 item 4, applied to
+# the whole family: _COS6/_L26/4dp output scores in
+# queries/similarity.py, the knn scores in queries/graph.py, and
+# streaming/semdedup.py's cos6). This is not merely preemptive — the
+# hazard was MEASURED this round: Spark and DuckDB disagree on
+# ROUND(double, d) for the same input double (probed r12: 42/5000
+# near-half-boundary doubles at 6dp, 573/10000 6dp-grid values at 4dp;
+# FLOOR 0/5000 — see the similarity.py module docstring). The green
+# r8–r11 rows attest the ROUND values; every touched query needs a
+# fresh FULL-oracle row. Locally re-verified green at sf0.001/0.01/0.1
+# (VERIFICATION §1 r12). The two gram-kernel queries additionally
+# rescore kernel candidates with the exact sequential fold, since
+# FLOOR exposes BLAS summation noise at on-grid scores (cos = 1.0).
+FORCE_RECHECK: dict[str, int] = {
+    "cosine_topk_bruteforce": 12,
+    "embedding_neardup_pairs": 12,
+    "ann_lsh_topk": 12,
+    "ivf_ann_topk": 12,
+    "ivf_kmeans_topk": 12,
+    "quantized_cosine_topk": 12,
+    "pq_adc_rerank_topk": 12,
+    "retrieval_join_docs": 12,
+    "truncated_cosine_topk": 12,
+    "cascade_retrieval_topk": 12,
+    "rrf_fusion_topk": 12,
+    "embedding_dedup_clusters": 12,
+    "mmr_diversified_topk": 12,
+    "semdedup_prune": 12,
+    "semdedup_prune_sampled": 12,
+    "incremental_semdedup_rounds": 12,
+    "knn_graph_clustering": 12,
+}
 
 
 def _effective_green(

@@ -139,20 +139,25 @@ def _sidecar_detail(
 def _prev_bench(sf: float) -> tuple[dict[str, float], dict[str, float]]:
     """Back-compat 2-tuple view of `_prev_bench_full` (the gate tests
     pin this shape)."""
-    mins, meds, _canary = _prev_bench_full(sf)
+    mins, meds, _canary, _shuffle_canary = _prev_bench_full(sf)
     return mins, meds
 
 
 def _prev_bench_full(
     sf: float,
-) -> tuple[dict[str, float], dict[str, float], float]:
+) -> tuple[dict[str, float], dict[str, float], float, float]:
     """Per-query timings from the newest USABLE BENCH_r*.json anchor
     (driver artifact), for round-over-round delta reporting and the
-    regression gate. Returns (mins, medians, canary_median): the
-    anchor's min-of-passes map, its medians when the anchor recorded
-    queries_median or the bench_detail.json sidecar provably belongs to
-    it (else {}), and the anchor run's host-canary median seconds (0.0
-    when the anchor predates the canary — VERDICT r9 item 3). The gate
+    regression gate. Returns (mins, medians, canary_median,
+    shuffle_canary_median): the anchor's min-of-passes map, its medians
+    when the anchor recorded queries_median or the bench_detail.json
+    sidecar provably belongs to it (else {}), the anchor run's
+    CPU-canary median seconds, and its shuffle-canary median seconds
+    (each 0.0 when the anchor predates that canary — VERDICT r9 item 3
+    added the CPU canary; VERDICT r11 item 3 added the shuffle canary
+    after a window where the CPU canary ANTI-correlated with query
+    drift: the contention that slowed the queries was I/O / memory
+    bandwidth, which a single CPU-bound sample cannot see). The gate
     compares like to like — min-to-min and median-to-median, never
     median-vs-min, which would double-count noise (VERDICT r4 item 4).
     Only comparable at the SAME sf — a smaller dev-loop sf would
@@ -195,6 +200,11 @@ def _prev_bench_full(
         canary = float(
             parsed.get("canary_median") or side.get("canary_median") or 0.0
         )
+        shuffle_canary = float(
+            parsed.get("shuffle_canary_median")
+            or side.get("shuffle_canary_median")
+            or 0.0
+        )
         qmap = parsed.get("queries") or {}
         if not qmap and not med:
             continue  # right-sf anchor with no per-query payload: keep scanning
@@ -211,8 +221,8 @@ def _prev_bench_full(
                 " gate)",
                 file=sys.stderr,
             )
-        return qmap, med, canary
-    return {}, {}, 0.0
+        return qmap, med, canary, shuffle_canary
+    return {}, {}, 0.0, 0.0
 
 
 def _host_canary() -> float:
@@ -243,6 +253,57 @@ def _host_canary() -> float:
     return time.perf_counter() - t0
 
 
+def _shuffle_canary(spark) -> float:
+    """Seconds for a FIXED Spark shuffle calibration job: 1e6 rows in 32
+    map partitions hash-exchanged on ~1e4 keys, then reduced. Identical
+    plan and data every call, so its wall time tracks the host's current
+    shuffle/scheduling/memory-bandwidth speed — the contention dimension
+    the CPU canary is blind to (VERDICT r11 item 3: in the r11 driver
+    window the CPU canary ran FASTER than the anchor's while queries ran
+    slower, so CPU-normalizing amplified apparent drift; the slowdown
+    lived in the exchange path). Spark-side caveat: the first call pays
+    codegen for this plan; callers sample once per pass and take the
+    median of >= 3, which discards that warmup like every other timing
+    here."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    n = (
+        spark.range(0, 1_000_000, 1, 32)
+        .select((F.col("id") % 9973).alias("k"), "id")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+        .count()
+    )
+    if n != 9973:  # anchors the work against plan-level short-circuits
+        raise RuntimeError(f"shuffle canary row count {n}")
+    return time.perf_counter() - t0
+
+
+def _best_canary(
+    geo_raw: float, cpu_ratio: float, shuffle_ratio: float
+) -> tuple[str, float]:
+    """Pick the canary whose host-speed ratio best EXPLAINS an observed
+    raw drift geomean: the one closest in log space (a canary that moved
+    the same way and magnitude as the queries is measuring the same
+    contention; one that moved the other way would amplify the apparent
+    drift if used as the normalizer — exactly the r11 failure mode).
+    Returns (label, normalized_geomean); ('none', geo_raw) when no
+    anchor canary exists. A ratio of 0 means that canary is unavailable
+    in the anchor."""
+    import math
+
+    cands = [
+        (lbl, r)
+        for lbl, r in (("cpu", cpu_ratio), ("shuffle", shuffle_ratio))
+        if r > 0
+    ]
+    if not cands:
+        return "none", geo_raw
+    lbl, r = min(cands, key=lambda c: abs(math.log(geo_raw) - math.log(c[1])))
+    return lbl, geo_raw / r
+
+
 def _loadavg() -> list[float]:
     """1/5/15-minute load averages, [] where /proc is unavailable."""
     try:
@@ -262,6 +323,10 @@ def main() -> None:
     # two representative shapes (decimal group-agg scan, shingle explode)
     # at sf0.001 (~1% of the benched data; metrics unaffected).
     spark.range(1000).selectExpr("sum(id)").collect()
+    # untimed shuffle-canary warmup: its first execution pays codegen +
+    # shuffle-machinery spin-up (measured 3.0s -> 0.6s steady state);
+    # the per-pass samples should measure the HOST, not that warmup
+    _shuffle_canary(spark)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for wq in (
@@ -284,12 +349,15 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     canary_sec: list[float] = []
+    shuffle_canary_sec: list[float] = []
     loadavgs: list[list[float]] = []
     for _pass in range(3):
-        # host-speed canary OUTSIDE any query's timing window: one fixed
-        # CPU-bound sample per pass, so the sidecar records how fast the
-        # host was during this run (VERDICT r9 item 3)
+        # host-speed canaries OUTSIDE any query's timing window: one
+        # fixed CPU-bound sample (VERDICT r9 item 3) and one fixed
+        # shuffle-bound Spark sample (VERDICT r11 item 3) per pass, so
+        # the sidecar records how fast the host was on BOTH axes
         canary_sec.append(round(_host_canary(), 3))
+        shuffle_canary_sec.append(round(_shuffle_canary(spark), 3))
         loadavgs.append(_loadavg())
         for name in HEADLINE:
             q = QUERIES[name]
@@ -313,7 +381,7 @@ def main() -> None:
         n: round(100.0 * (max(s) - min(s)) / sorted(s)[len(s) // 2], 1)
         for n, s in samples.items()
     }
-    prev_min, prev_med, prev_canary = _prev_bench_full(sf)
+    prev_min, prev_med, prev_canary, prev_shuffle_canary = _prev_bench_full(sf)
     for name in HEADLINE:
         delta = ""
         if name in prev_min and prev_min[name] > 0:
@@ -371,16 +439,29 @@ def main() -> None:
     # booked as a slower ENGINE (VERDICT r9 item 3: normalized drift
     # >1.1x on common queries = real regression hunt, not noise).
     canary_median = sorted(canary_sec)[len(canary_sec) // 2]
+    shuffle_canary_median = sorted(shuffle_canary_sec)[
+        len(shuffle_canary_sec) // 2
+    ]
     host_ratio = canary_median / prev_canary if prev_canary > 0 else 0.0
+    shuffle_ratio = (
+        shuffle_canary_median / prev_shuffle_canary
+        if prev_shuffle_canary > 0
+        else 0.0
+    )
     print(
-        f"# HOST-CANARY: median {canary_median:.3f}s over"
-        f" {len(canary_sec)} samples {canary_sec}, loadavg(1m) at passes"
-        f" {[la[0] for la in loadavgs if la]}"
+        f"# HOST-CANARY: cpu median {canary_median:.3f}s {canary_sec},"
+        f" shuffle median {shuffle_canary_median:.3f}s {shuffle_canary_sec},"
+        f" loadavg(1m) at passes {[la[0] for la in loadavgs if la]}"
         + (
-            f"; anchor canary {prev_canary:.3f}s -> host-speed ratio"
-            f" {host_ratio:.2f}x"
+            f"; anchor cpu {prev_canary:.3f}s -> ratio {host_ratio:.2f}x"
             if prev_canary > 0
-            else "; anchor carries no canary (normalization arms next round)"
+            else "; anchor carries no cpu canary"
+        )
+        + (
+            f"; anchor shuffle {prev_shuffle_canary:.3f}s -> ratio"
+            f" {shuffle_ratio:.2f}x"
+            if prev_shuffle_canary > 0
+            else "; anchor carries no shuffle canary (arms next round)"
         ),
         file=sys.stderr,
     )
@@ -391,11 +472,20 @@ def main() -> None:
         geo_raw = math.exp(
             sum(math.log(timings[n] / prev_min[n]) for n in common) / len(common)
         )
-        norm_note = (
-            f", {geo_raw / host_ratio:.2f}x canary-normalized"
-            if prev_canary > 0
-            else ""
-        )
+        norm_notes = []
+        if prev_canary > 0:
+            norm_notes.append(f"{geo_raw / host_ratio:.2f}x cpu-normalized")
+        if prev_shuffle_canary > 0:
+            norm_notes.append(
+                f"{geo_raw / shuffle_ratio:.2f}x shuffle-normalized"
+            )
+        best_lbl, best_norm = _best_canary(geo_raw, host_ratio, shuffle_ratio)
+        if best_lbl != "none":
+            norm_notes.append(
+                f"best-explained by the {best_lbl} canary ->"
+                f" {best_norm:.2f}x residual"
+            )
+        norm_note = (", " + ", ".join(norm_notes)) if norm_notes else ""
         print(
             f"# ROUND-OVER-ROUND: common-query min geomean {geo_raw:.2f}x"
             f" raw{norm_note} vs anchor ({len(common)} queries)",
@@ -419,8 +509,14 @@ def main() -> None:
                     / len(grp)
                 )
                 dmed = statistics.median(timings[n] - prev_min[n] for n in grp)
+                c_lbl, c_norm = _best_canary(g, host_ratio, shuffle_ratio)
+                canary_note = (
+                    f", {c_norm:.2f}x after {c_lbl}-canary"
+                    if c_lbl != "none"
+                    else ""
+                )
                 print(
-                    f"#   {lbl}: geomean {g:.2f}x, median delta"
+                    f"#   {lbl}: geomean {g:.2f}x{canary_note}, median delta"
                     f" {dmed:+.3f}s (n={len(grp)})",
                     file=sys.stderr,
                 )
@@ -433,6 +529,7 @@ def main() -> None:
         passes=3,
         canary_sec=canary_sec,
         loadavgs=loadavgs,
+        shuffle_canary_sec=shuffle_canary_sec,
     )
     with open(
         os.path.join(os.path.dirname(__file__) or ".", "bench_detail.json"), "w"
@@ -505,6 +602,7 @@ def _artifacts(
     passes: int,
     canary_sec: list[float] | None = None,
     loadavgs: list[list[float]] | None = None,
+    shuffle_canary_sec: list[float] | None = None,
 ) -> tuple[dict, dict]:
     """Split the results into (compact stdout line, full sidecar).
 
@@ -545,6 +643,12 @@ def _artifacts(
         detail["canary_sec"] = canary_sec
         detail["canary_median"] = sorted(canary_sec)[len(canary_sec) // 2]
         detail["loadavg"] = loadavgs or []
+    if shuffle_canary_sec:
+        # second, shuffle-bound canary (VERDICT r11 item 3) — sidecar-only
+        detail["shuffle_canary_sec"] = shuffle_canary_sec
+        detail["shuffle_canary_median"] = sorted(shuffle_canary_sec)[
+            len(shuffle_canary_sec) // 2
+        ]
     return out, detail
 
 

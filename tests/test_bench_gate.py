@@ -343,13 +343,26 @@ def test_prev_bench_full_returns_anchor_canary(tmp_path, monkeypatch):
         )
     )
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
-    assert bench._prev_bench_full(0.1) == ({"q": 1.0}, {"q": 1.2}, 0.5)
+    assert bench._prev_bench_full(0.1) == ({"q": 1.0}, {"q": 1.2}, 0.5, 0.0)
     assert bench._prev_bench(0.1) == ({"q": 1.0}, {"q": 1.2})
+    # two-canary sidecar (r12+ anchors) surfaces both medians
+    (tmp_path / "bench_detail_r09.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {"q": 1.0},
+                "queries_median": {"q": 1.2},
+                "canary_median": 0.5,
+                "shuffle_canary_median": 0.8,
+            }
+        )
+    )
+    assert bench._prev_bench_full(0.1) == ({"q": 1.0}, {"q": 1.2}, 0.5, 0.8)
     # canary-less sidecar (pre-r10 anchors) -> 0.0, not a crash
     (tmp_path / "bench_detail_r09.json").write_text(
         json.dumps({"sf": 0.1, "queries": {"q": 1.0}, "queries_median": {"q": 1.2}})
     )
-    assert bench._prev_bench_full(0.1) == ({"q": 1.0}, {"q": 1.2}, 0.0)
+    assert bench._prev_bench_full(0.1) == ({"q": 1.0}, {"q": 1.2}, 0.0, 0.0)
 
 
 def test_artifacts_canary_goes_to_sidecar_not_stdout():
@@ -369,4 +382,47 @@ def test_artifacts_canary_goes_to_sidecar_not_stdout():
     assert "canary_sec" not in out and "canary_median" not in out
     assert detail["canary_median"] == 0.55
     assert detail["canary_sec"] == [0.5, 0.6, 0.55]
+
+
+def test_artifacts_shuffle_canary_goes_to_sidecar_not_stdout():
+    """The r12 shuffle canary follows the same sidecar-only rule."""
+    t = {n: 1.0 for n in bench.HEADLINE}
+    out, detail = bench._artifacts(
+        t,
+        t,
+        {n: 1.0 for n in t},
+        0.1,
+        passes=3,
+        canary_sec=[0.5, 0.6, 0.55],
+        loadavgs=[[1.0, 1.0, 1.0]] * 3,
+        shuffle_canary_sec=[0.9, 0.7, 0.8],
+    )
+    assert "shuffle_canary_sec" not in out
+    assert "shuffle_canary_median" not in out
+    assert detail["shuffle_canary_median"] == 0.8
+    assert detail["shuffle_canary_sec"] == [0.9, 0.7, 0.8]
     assert detail["loadavg"] == [[1.0, 1.0, 1.0]] * 3
+
+
+def test_shuffle_canary_runs_and_is_positive(spark):
+    """The shuffle calibration job must be cheap and positive, and its
+    row-count tripwire must hold."""
+    sec = bench._shuffle_canary(spark)
+    assert 0.0 < sec < 30.0, sec
+
+
+def test_best_canary_selects_the_ratio_that_explains_the_drift():
+    """Two-canary selection (VERDICT r11 item 3): normalize by the
+    canary whose host-speed ratio is closest to the observed drift in
+    log space. The r11 window is the motivating case: queries drifted
+    1.06x while the CPU canary ran 0.9x (anti-correlated) and a
+    shuffle-bound canary would have shown ~1.1x — selection must pick
+    shuffle and report a near-1.0 residual, never amplify via the
+    anti-correlated CPU ratio."""
+    lbl, norm = bench._best_canary(1.06, 0.9, 1.1)
+    assert lbl == "shuffle" and abs(norm - 1.06 / 1.1) < 1e-9
+    # only CPU available (pre-r12 anchor): fall back to it
+    lbl, norm = bench._best_canary(1.06, 0.9, 0.0)
+    assert lbl == "cpu" and abs(norm - 1.06 / 0.9) < 1e-9
+    # no anchor canaries at all: raw passes through unlabeled
+    assert bench._best_canary(1.06, 0.0, 0.0) == ("none", 1.06)

@@ -55,7 +55,9 @@ def test_knn_clustering_matches_numpy(spark):
     ids = [r[0] for r in raw]
     M = np.array([r[1] for r in raw], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    S = np.round(Mn @ Mn.T, 4)
+    # r12 FLOOR repin: the engine truncates scores at 4dp (portable
+    # IEEE form), so the reference ranking must truncate identically
+    S = np.floor(Mn @ Mn.T * 10000) / 10000
     np.fill_diagonal(S, -np.inf)
     # top-3 by (score desc, id asc): argsort on (-score, id)
     edges = set()
@@ -76,7 +78,7 @@ def test_knn_clustering_matches_numpy(spark):
         assert r["degree"] == deg[i]
         assert r["n_triangles"] == tri_per_node[i]
         expect = 2.0 * tri_per_node[i] / (deg[i] * (deg[i] - 1))
-        assert abs(r["clustering"] - round(expect, 6)) < 1e-9
+        assert abs(r["clustering"] - np.floor(expect * 1000000) / 1000000) < 1e-9
 
 
 def test_pagerank_iterations_shuffle_free(spark):

@@ -601,3 +601,70 @@ def test_semdedup_stream_equals_batch_twin(spark, tmp_path):
     # the arrival store holds every arrival (soft precedence state),
     # not just survivors
     assert spark.read.parquet(store).count() == 12
+
+
+def test_semdedup_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once (ADVICE r11): re-running a batch
+    whose store write already landed must produce EXACTLY the original
+    verdicts — the store read excludes the current batch_id's subpath,
+    so the retried batch never pairs with its own failed-attempt copy
+    (which would prune every vector against itself at cos 1.0) — and
+    the per-batch overwrite leaves the store row count unchanged."""
+    from transit_feed_etl_spark.operators import vectors as V
+    from transit_feed_etl_spark.streaming.semdedup import (
+        semdedup_batch_against_store,
+    )
+
+    def vec(i: int) -> list[float]:
+        base = [1.0, 0.0, 0.2, 0.0] if i % 3 else [0.0, 1.0, 0.0, 0.2]
+        return [
+            round(base[d % 4] + 0.01 * ((i + d) % 5), 6) for d in range(64)
+        ]
+
+    store = str(tmp_path / "store")
+    cent = str(tmp_path / "centroids")
+    b0 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(0, 12, 2)],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", V.as_double("embedding").alias("v"))
+    v0 = semdedup_batch_against_store(b0, store, cent, n_cells=4, batch_id=0)
+    first = {tuple(r) for r in v0.collect()}
+    n_store = spark.read.parquet(store).count()
+    assert n_store == 6
+    # retry of batch 0: store already holds its rows under batch_id=0
+    v0r = semdedup_batch_against_store(b0, store, cent, n_cells=4, batch_id=0)
+    retried = {tuple(r) for r in v0r.collect()}
+    assert retried == first
+    # no vector may be "pruned by itself" on the retry
+    assert all(r[0] != r[2] for r in retried)
+    assert spark.read.parquet(store).count() == n_store
+
+
+def test_corpus_dedup_batch_retry_is_idempotent(spark, tmp_path):
+    """Retry of a corpus-dedup batch whose digest write landed must
+    re-emit the SAME fresh rows (a plain append store would anti-join
+    the batch against its own digests and silently emit zero rows) and
+    leave the digest store unchanged."""
+    from transit_feed_etl_spark.streaming.corpus_dedup import (
+        dedup_batch_against_store,
+    )
+
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (3, "same-content"), (5, "same-content")],
+        "doc_id long, text string",
+    )
+    fresh = dedup_batch_against_store(b0, store, batch_id=0)
+    first = {(r["doc_id"], r["text"]) for r in fresh.collect()}
+    assert first == {(1, "alpha"), (3, "same-content")}
+    fresh_retry = dedup_batch_against_store(b0, store, batch_id=0)
+    assert {(r["doc_id"], r["text"]) for r in fresh_retry.collect()} == first
+    assert spark.read.parquet(store).count() == 2
+    # and a genuinely NEW batch still dedups against history
+    b1 = spark.createDataFrame(
+        [(9, "alpha"), (11, "brand-new")], "doc_id long, text string"
+    )
+    fresh1 = dedup_batch_against_store(b1, store, batch_id=1)
+    assert {(r["doc_id"], r["text"]) for r in fresh1.collect()} == {
+        (11, "brand-new")
+    }

@@ -99,11 +99,12 @@ def blocked_cosine_pairs(
 
     Emits the RAW float64 score (numpy dot; differs from a sequential
     fold only by ~1e-15 summation-order noise). Callers needing oracle-
-    exact decimal rounding apply ``F.round`` on the JVM side — Spark's
-    round is exact HALF_UP on the binary double, while ``np.round`` is
-    half-to-even, so rounding must NOT happen in the kernel. Pass the
-    threshold minus a small slack so boundary pairs survive into the
-    exact rounded filter.
+    exact decimal truncation apply the portable FLOOR-at-4dp form
+    (``F.floor(c * 10000) / 10000.0`` — pure IEEE ops, identical in
+    DuckDB; see queries/similarity.py) on the JVM side; truncation must
+    NOT happen in the kernel, where numpy's rounding rules differ. Pass
+    the threshold minus a small slack so boundary pairs survive into
+    the exact truncated filter.
     """
     import numpy as np
     import pandas as pd

@@ -1210,7 +1210,17 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-domain constants ride a broadcast join back onto the second
     pass — the corpus itself never shuffles. At 100 TB the decimal
     products stay inside DECIMAL(38,0): h·Σw·chars ≈ 1e6·3e17·1e13 =
-    3e36 < 1e38 even at 1e5 domains of 10 TB each.
+    3e36 < 1e38 even at 1e5 domains of 10 TB each. OUT-OF-DOMAIN
+    BEHAVIOR (ADVICE r11): past that bound the engines diverge LOUDLY
+    ASYMMETRICALLY, not silently-identically — Spark's default
+    allowPrecisionLoss turns a capped decimal(38,0) product overflow
+    into NULL (the acceptance test then evaluates false, silently
+    dropping the doc) while DuckDB's HUGEINT multiply raises. The
+    stated 1e38 product bound is therefore a domain precondition of
+    this query, same class as the nonzero-norm embedding precondition
+    (similarity.py): a corpus large enough to breach it needs the
+    budget and hash scaled down (divide h and the 1e6 scale by a
+    common factor), not a wider integer.
 
     This is the missing third stage of the domain-curation trio:
     `domain_doc_stats` measures the mix, `domain_capped_sample` caps

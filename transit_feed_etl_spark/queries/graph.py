@@ -122,8 +122,9 @@ _NRM = "SQRT(list_sum(list_transform({a}, x -> x * x)))"
     ),
     scored AS (
       SELECT a.vec_id AS qid, b.vec_id AS nid,
-             ROUND({_DOT.format(a="a.v", b="b.v")}
-                   / ({_NRM.format(a="a.v")} * {_NRM.format(a="b.v")}), 4) AS score
+             FLOOR(({_DOT.format(a="a.v", b="b.v")}
+                   / ({_NRM.format(a="a.v")} * {_NRM.format(a="b.v")}))
+                   * 10000) / 10000.0 AS score
       FROM v a JOIN v b ON b.vec_id <> a.vec_id
     ),
     knn AS (
@@ -157,15 +158,15 @@ _NRM = "SQRT(list_sum(list_transform({a}, x -> x * x)))"
     )
     SELECT d.node AS vec_id, CAST(d.deg AS INT) AS degree,
            CAST(COALESCE(t.n_tri, 0) AS INT) AS n_triangles,
-           ROUND(CAST(2.0 * COALESCE(t.n_tri, 0) AS DOUBLE)
-                 / (d.deg * (d.deg - 1)), 6) AS clustering
+           FLOOR((CAST(2.0 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                 / (d.deg * (d.deg - 1))) * 1000000) / 1000000.0 AS clustering
     FROM node_deg d LEFT JOIN node_tri t ON t.node = d.node
     ORDER BY vec_id
     """,
 )
 def knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient of the cosine {_KNN_K}-NN graph:
-    exact top-{_KNN_K} neighbors per vector (rounded-score + id
+    exact top-{_KNN_K} neighbors per vector (FLOOR-at-4dp score + id
     tie-break, the similarity.py determinism contract), symmetrized,
     then triangles enumerated once each via the ordered three-way
     self-join (x < y < z) and per-node clustering = 2*tri/(deg*(deg-1)).
@@ -185,8 +186,11 @@ def knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") < F.col("qid"))
-    score = F.round(
-        V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+    score = (
+        F.floor(
+            V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")) * 10000
+        )
+        / 10000.0
     )
     # Score each unordered pair ONCE and mirror it: cosine is
     # bit-symmetric (per-element multiply and the norm product commute
@@ -233,8 +237,13 @@ def knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("vec_id"),
             F.col("deg").cast("int").alias("degree"),
             n_tri.cast("int").alias("n_triangles"),
-            F.round(
-                (2.0 * n_tri).cast("double") / (F.col("deg") * (F.col("deg") - 1)), 6
+            (
+                F.floor(
+                    (2.0 * n_tri).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    * 1000000
+                )
+                / 1000000.0
             ).alias("clustering"),
         )
         .orderBy("vec_id")

@@ -3,8 +3,17 @@ cosine top-k (exact, oracle-checked) and hyperplane-LSH ANN (the scale
 path, rows-only + recall-tested).
 
 Determinism: cosine scores are double arithmetic with engine-identical
-operation order where possible, then ROUNDED to 4dp; ranking orders by
-(rounded score DESC, neighbor id ASC) so ranks are stable across engines.
+operation order where possible, then FLOORED to 4dp (or 6dp for
+internal comparisons): FLOOR(x * 10^d) / 10^d is pure IEEE ops on the
+same double in both engines and can never disagree, whereas
+ROUND(double, d) is implemented differently (Spark: BigDecimal on the
+binary expansion, HALF_UP; DuckDB: nearest on x * 10^d) and measurably
+diverges near half boundaries — probed r12: 42/5000 near-boundary
+doubles disagree at 6dp, 573/10000 6dp-grid values disagree at 4dp,
+0/5000 under FLOOR (the same transcendental half-boundary hazard class
+registry.py documents; VERDICT r11 item 4). Ranking orders by
+(floored score DESC, neighbor id ASC) so ranks are stable across
+engines.
 
 Scale design: brute-force is O(Q x N x d) — correct but quadratic; it is
 the verification baseline. The LSH variant buckets vectors by
@@ -38,6 +47,28 @@ from transit_feed_etl_spark.registry import register
 
 _DOT_SQL = "list_sum(list_transform(range(1, LEN({a}) + 1), i -> {a}[i] * {b}[i]))"
 _NORM_SQL = "SQRT(list_sum(list_transform({a}, x -> x * x)))"
+
+# Portable decimal truncation (module docstring): FLOOR(x * 10^d) / 10^d
+# is the ONLY cross-engine-stable way to pin a double to d decimals —
+# the multiply by an exactly-representable power of ten, the floor, and
+# the divide are each correctly-rounded IEEE ops on the same input, so
+# Spark and DuckDB cannot diverge. Every fractional-scale rounding in
+# this module goes through these. Round-to-INTEGER quantization keeps
+# ROUND: at scale 0 neither engine multiplies, so HALF_UP (Spark) and
+# half-away-from-zero (DuckDB) act on the exact double and agree for
+# every value, including exact .5 halves (both go away from zero).
+
+
+def _f4(c):
+    return F.floor(c * 10000) / 10000.0
+
+
+def _f6(c):
+    return F.floor(c * 1000000) / 1000000.0
+
+
+_FLOOR4_SQL = "FLOOR(({x}) * 10000) / 10000.0"
+_FLOOR6_SQL = "FLOOR(({x}) * 1000000) / 1000000.0"
 
 
 EMB_DIM = 64  # driver testdata contract (TESTDATA.md): fixed-width embeddings
@@ -74,9 +105,9 @@ def _emb_blocks(spark: SparkSession, sf_dir: str) -> int:
     q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
     scored AS (
       SELECT q.qid, c.vec_id AS nid,
-             ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
-                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
-                   4) AS score
+             FLOOR(({_DOT_SQL.format(a="q.qv", b="c.v")}
+                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}))
+                   * 10000) / 10000.0 AS score
       FROM q JOIN v c ON c.vec_id <> q.qid
     )
     SELECT qid, nid, score, rnk FROM (
@@ -103,7 +134,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q), F.col("vec_id") != F.col("qid")
     )
     # per-vector norms precomputed; per-pair work = one dot product
-    score = F.round(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4)
+    score = _f4(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
         pairs.select(
@@ -121,16 +152,20 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.1), so a 0.8 cut returns the empty set at every SF and the driver
 # CORRECTNESS row degenerates to a vacuous 0 == 0 compare (VERDICT r4
 # "What's wrong" #1).  0.4 yields a non-trivial result everywhere
-# (66 / 59 / 920 pairs at sf0.001 / 0.01 / 0.1) while exercising the
-# identical thresholded pair-scan operator; the nearest raw score to a
-# 4dp HALF_UP rounding boundary is 2.4e-9 away, so cross-engine float64
-# evaluation order cannot flip a row in or out.
+# while exercising the identical thresholded pair-scan operator.
+# Cross-engine stability after the r12 ROUND->FLOOR repin: FLOOR
+# eliminates the rounding-IMPLEMENTATION divergence (Spark and DuckDB
+# can disagree when ROUNDing even the SAME double near a half
+# boundary); the residual hazard is only the gram kernel's ~1e-15
+# BLAS-vs-sequential-fold noise landing within ~1e-15 of a 1e-4 grid
+# point — the same corpus-measured residual class the old HALF_UP
+# boundary-distance audit covered, now against the .0000 grid.
 _NEARDUP_COS_TH = 0.4
 # The clusters twin uses a slightly higher cut: at 0.4 the sf0.1 pair
 # graph grows a 75-node giant component whose all-reachable-pairs
 # recursive-CTE oracle takes ~140 s in DuckDB; 0.42 keeps non-trivial
 # transitive chains (max component 5 at sf0.01, 13 at sf0.1) with a
-# sub-second oracle.  Nearest raw score to a rounding boundary: 1.2e-7.
+# sub-second oracle.
 _CLUSTER_COS_TH = 0.42
 
 
@@ -141,13 +176,13 @@ _CLUSTER_COS_TH = 0.42
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND({_DOT_SQL.format(a="a.v", b="b.v")}
-                 / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}),
-                 4) AS cos_sim
+           FLOOR(({_DOT_SQL.format(a="a.v", b="b.v")}
+                 / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}))
+                 * 10000) / 10000.0 AS cos_sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND({_DOT_SQL.format(a="a.v", b="b.v")}
-                / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}),
-                4) >= {_NEARDUP_COS_TH}
+    WHERE FLOOR(({_DOT_SQL.format(a="a.v", b="b.v")}
+                / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}))
+                * 10000) / 10000.0 >= {_NEARDUP_COS_TH}
     ORDER BY id_a, id_b
     """,
 )
@@ -157,23 +192,40 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for why the registered cut is 0.4 on this corpus).
 
     Runs the blocked numpy gram-matrix kernel (operators.vectors.
-    blocked_cosine_pairs): O(n * n_blocks) shuffle + BLAS tile scoring
-    instead of an O(n^2) pair join with interpreted per-pair folds
-    (measured 2.6s -> ~0.5s at sf0.1; the pair-join baseline was itself
-    23.6s before per-vector norm precomputation). The kernel emits raw
-    float64 scores above (threshold - slack); the exact HALF_UP decimal
-    rounding and the >= threshold cut happen JVM-side so 4dp scores
-    hash-match the DuckDB oracle."""
+    blocked_cosine_pairs) as CANDIDATE GENERATION — O(n * n_blocks)
+    shuffle + BLAS tile scoring instead of an O(n^2) pair join with
+    interpreted per-pair folds (measured 2.6s -> ~0.5s at sf0.1; the
+    pair-join baseline was itself 23.6s before per-vector norm
+    precomputation) — then RESCORES the surviving candidates with the
+    exact sequential fold JVM-side. The kernel's BLAS summation order
+    differs from the fold by ~1e-15; under the r12 FLOOR repin that
+    noise is visible precisely at on-grid scores (an exact duplicate's
+    cos sits AT 1.0, where truncating 1.0-1ulp yields 0.9999), so the
+    emitted score must come from the same IEEE expression tree the
+    oracle folds — candidates are output-bounded, so the rescoring join
+    costs O(|pairs|), not O(n^2)."""
     emb = table_par(spark, sf_dir, "embeddings")  # dense math on all cores
-    raw = V.blocked_cosine_pairs(
+    cand = V.blocked_cosine_pairs(
         emb,
         "vec_id",
         "embedding",
         _NEARDUP_COS_TH - 1e-4,
         n_blocks=_emb_blocks(spark, sf_dir),
+    ).select("id_a", "id_b")
+    v = emb.select("vec_id", V.as_double("embedding").alias("v")).withColumn(
+        "nrm", V.l2_norm(F.col("v"))
     )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _f4(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     return (
-        raw.select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _NEARDUP_COS_TH)
         .orderBy("id_a", "id_b")
     )
@@ -212,9 +264,9 @@ def _lsh_oracle(n_tables: int = 8, k: int = 5) -> str:
           FROM b WHERE vec_id < 10),
     scored AS (
       SELECT q.qid, c.vec_id AS nid,
-             ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
-                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
-                   4) AS score
+             FLOOR(({_DOT_SQL.format(a="q.qv", b="c.v")}
+                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}))
+                   * 10000) / 10000.0 AS score
       FROM q JOIN b c ON ({match}) AND c.vec_id <> q.qid
     )
     SELECT qid, nid, score, rnk FROM (
@@ -262,7 +314,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     cv = v.select(F.col("vec_id").alias("nid"), "v", "nrm")
-    score = F.round(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4)
+    score = _f4(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
         cand.join(F.broadcast(qv), "qid")
@@ -275,8 +327,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COS6 = (
-    "ROUND(" + _DOT_SQL.format(a="{a}", b="{b}")
-    + " / (" + _NORM_SQL.format(a="{a}") + " * " + _NORM_SQL.format(a="{b}") + "), 6)"
+    "FLOOR((" + _DOT_SQL.format(a="{a}", b="{b}")
+    + " / (" + _NORM_SQL.format(a="{a}") + " * " + _NORM_SQL.format(a="{b}")
+    + ")) * 1000000) / 1000000.0"
 )
 
 
@@ -307,7 +360,7 @@ _COS6 = (
       JOIN cells ce   ON ce.cell = p.probe_cell
       JOIN v c        ON c.vec_id = ce.vec_id AND c.vec_id <> p.qid
     )
-    SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM (
+    SELECT qid, nid, FLOOR(score * 10000) / 10000.0 AS score, rnk FROM (
       SELECT qid, nid, score,
              ROW_NUMBER() OVER (PARTITION BY qid
                ORDER BY score DESC, nid ASC) AS rnk
@@ -335,7 +388,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = v.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    cos_c = F.round(V.cosine(F.col("v"), F.col("cv")), 6)
+    cos_c = _f6(V.cosine(F.col("v"), F.col("cv")))
     wa = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     # persist: the assignment (cross join + window) feeds both the cells
     # and probes branches — without it the whole subtree runs twice.
@@ -371,11 +424,11 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "qid",
             "nid",
-            F.round(V.cosine(F.col("qv"), F.col("nv")), 6).alias("score"),
+            _f6(V.cosine(F.col("qv"), F.col("nv"))).alias("score"),
         )
         .withColumn("rnk", F.row_number().over(ws))
         .filter(F.col("rnk") <= 5)
-        .select("qid", "nid", F.round("score", 4).alias("score"), "rnk")
+        .select("qid", "nid", _f4(F.col("score")).alias("score"), "rnk")
         .orderBy("qid", "rnk")
     )
 
@@ -518,9 +571,10 @@ def _kmeans_oracle(iters: int = _KM_ITERS, cells: int = _KM_CELLS) -> str:
 
     Cross-engine determinism: centroid means go through DECIMAL(25,15)
     sums (order-independent, registry.py contract), cosine similarities
-    are sequential 1..64 folds rounded to 6dp, and argmin ties break on
-    cid ASC — every iteration is bit-identical in both engines, so the
-    trained centroids (and hence the ANN result) hash-match."""
+    are sequential 1..64 folds FLOOR-truncated at 6dp (portable IEEE
+    ops, module docstring), and argmin ties break on cid ASC — every
+    iteration is bit-identical in both engines, so the trained
+    centroids (and hence the ANN result) hash-match."""
     cos = _COS6
     parts = _kmeans_training_parts(iters, cells)
     final = f"c{iters}"
@@ -545,7 +599,7 @@ def _kmeans_oracle(iters: int = _KM_ITERS, cells: int = _KM_CELLS) -> str:
       JOIN cells ce ON ce.cell = p.probe_cell
       JOIN v c      ON c.vec_id = ce.vec_id AND c.vec_id <> p.qid
     )
-    SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM (
+    SELECT qid, nid, FLOOR(score * 10000) / 10000.0 AS score, rnk FROM (
       SELECT qid, nid, score,
              ROW_NUMBER() OVER (PARTITION BY qid
                ORDER BY score DESC, nid ASC) AS rnk
@@ -561,7 +615,7 @@ def _cand_array(cent: DataFrame) -> DataFrame:
     array of (cid, cv, cnrm) structs — the broadcast side of the
     map-side argmax (`_fold_argmax_cell`). Centroid norms are
     precomputed once here instead of per (row, candidate) pair; the
-    rounded cosine each candidate produces is IEEE-identical either way
+    floored cosine each candidate produces is IEEE-identical either way
     (same doubles, same multiply)."""
     return cent.agg(
         F.array_sort(
@@ -581,14 +635,14 @@ def _fold_argmax_cell(cands, v, nrm):
     a strictly-greater fold keeps the FIRST best, reproducing the
     oracle's ROW_NUMBER() OVER (ORDER BY cos6 DESC, cid ASC) = 1 as a
     map-side expression — no explode, no window shuffle, no
-    join-the-vectors-back. -2.0 sits below every real rounded cosine
+    join-the-vectors-back. -2.0 sits below every real floored cosine
     (>= -1.0), so the first candidate always beats the init."""
     init = F.struct(
         F.lit(-1).cast("bigint").alias("cid"), F.lit(-2.0).alias("cos")
     )
 
     def step(acc, c):
-        cos = F.round(V.dot(v, c["cv"]) / (nrm * c["cnrm"]), 6)
+        cos = _f6(V.dot(v, c["cv"]) / (nrm * c["cnrm"]))
         return F.when(
             cos > acc["cos"],
             F.struct(c["cid"].alias("cid"), cos.alias("cos")),
@@ -598,7 +652,7 @@ def _fold_argmax_cell(cands, v, nrm):
 
 
 def _assign1(v: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, v, cell): nearest centroid by (rounded cosine DESC, cid
+    """(vec_id, v, cell): nearest centroid by (floored cosine DESC, cid
     ASC) as ONE map-side fold per row over the broadcast centroid
     array. Value-equivalent to `_ivf_assign(v, cent, nprobe=1)` (same
     cosine expression, same tie-break), but the corpus row never moves:
@@ -711,8 +765,8 @@ def kmeans_train(
 
 def _ivf_assign(v: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, cid, rn): each vector's nprobe nearest centroids by
-    rounded cosine, ties broken on cid ASC (both engines identical)."""
-    cos_c = F.round(V.cosine(F.col("v"), F.col("cv")), 6)
+    floored cosine, ties broken on cid ASC (both engines identical)."""
+    cos_c = _f6(V.cosine(F.col("v"), F.col("cv")))
     wa = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     return (
         v.join(F.broadcast(cent))
@@ -750,11 +804,11 @@ def ivf_search_topk(
     ws = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
         cand.select(
-            "qid", "nid", F.round(V.cosine(F.col("qv"), F.col("nv")), 6).alias("score")
+            "qid", "nid", _f6(V.cosine(F.col("qv"), F.col("nv"))).alias("score")
         )
         .withColumn("rnk", F.row_number().over(ws))
         .filter(F.col("rnk") <= k)
-        .select("qid", "nid", F.round("score", 4).alias("score"), "rnk")
+        .select("qid", "nid", _f4(F.col("score")).alias("score"), "rnk")
         .orderBy("qid", "rnk")
     )
 
@@ -798,8 +852,8 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS qid, qv AS q_qv, qnrm AS q_qnrm FROM v WHERE vec_id < 10),
     scored AS (
       SELECT q.qid, c.vec_id AS nid,
-             ROUND({_DOT_SQL.format(a="q.q_qv", b="c.qv")}
-                   / (q.q_qnrm * c.qnrm), 4) AS score
+             FLOOR(({_DOT_SQL.format(a="q.q_qv", b="c.qv")}
+                   / (q.q_qnrm * c.qnrm)) * 10000) / 10000.0 AS score
       FROM q JOIN v c ON c.vec_id <> q.qid
     )
     SELECT qid, nid, score, rnk FROM (
@@ -817,10 +871,12 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot product of quantized arrays rescaled by the two per-vector
     scales. 4x less memory/broadcast volume than float32 with ~1e-2
     score error — tests/test_oracle_parity.py asserts recall@5 >= 0.9
-    against the exact `cosine_topk_bruteforce`. Oracle: the SAME
-    HALF_UP rounding hash-matches engine-to-engine (proven by
-    `embedding_quantization`), so the quantized scores are fully
-    value-checked, not rows-only.
+    against the exact `cosine_topk_bruteforce`. Oracle: the integer dot
+    and integer-sum norms are bit-identical doubles on both engines and
+    the score is FLOOR-truncated at 4dp (portable IEEE ops, module
+    docstring), so the quantized scores are fully value-checked, not
+    rows-only. The round-to-INTEGER quantization itself keeps ROUND —
+    portable at scale 0 (module helper comment).
 
     Input-domain precondition (magnitude-extreme sweep,
     test_vecmag_parity.py): a vector whose entries are all below
@@ -853,7 +909,7 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idot = F.aggregate(
         F.zip_with("q_qv", "qv", lambda a, b: xd(a) * xd(b)), F.lit(0.0), lambda a, x: a + x
     )
-    score = F.round(idot / (F.col("q_qnrm") * F.col("qnrm")), 4)
+    score = _f4(idot / (F.col("q_qnrm") * F.col("qnrm")))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
         pairs.select("qid", F.col("vec_id").alias("nid"), score.alias("score"))
@@ -877,12 +933,12 @@ _L2_SQL = (
     "list_sum(list_transform(range(1, LEN({a}) + 1),"
     " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 )
-_L26 = "ROUND(" + _L2_SQL + ", 6)"
+_L26 = "FLOOR((" + _L2_SQL + ") * 1000000) / 1000000.0"
 
 
 def _pq_l2(a, b):
     """Squared L2 distance as the same sequential fold both engines run
-    (zip-square-diff then left fold) — bit-identical, so the rounded
+    (zip-square-diff then left fold) — bit-identical, so the floored
     comparator in codeword assignment never splits between engines."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -904,10 +960,10 @@ def _pq_subvectors(v: DataFrame) -> DataFrame:
 
 def _pq_nearest_code(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """(m, vec_id, code): each subvector's nearest codeword in ITS
-    subspace by rounded squared-L2, ties on cid ASC — the PQ analogue
+    subspace by floored squared-L2, ties on cid ASC — the PQ analogue
     of `_ivf_assign`, all M subspaces in one broadcast join + one
     narrow (m, vec_id)-keyed argmin exchange."""
-    d6 = F.round(_pq_l2(F.col("sv"), F.col("cv")), 6)
+    d6 = _f6(_pq_l2(F.col("sv"), F.col("cv")))
     wa = W.partitionBy("m", "vec_id").orderBy(F.col("d6").asc(), F.col("cid").asc())
     return (
         subs.join(F.broadcast(cb), "m")
@@ -1043,7 +1099,7 @@ def _pq_oracle() -> str:
       SELECT qid, nid, a FROM (
         SELECT qid, nid, a,
                ROW_NUMBER() OVER (PARTITION BY qid
-                 ORDER BY ROUND(a, 6) DESC, nid ASC) AS arn
+                 ORDER BY FLOOR(a * 1000000) / 1000000.0 DESC, nid ASC) AS arn
         FROM adc
       ) WHERE arn <= {_PQ_R}
     ),
@@ -1054,7 +1110,8 @@ def _pq_oracle() -> str:
       JOIN v q ON q.vec_id = s.qid
       JOIN v c ON c.vec_id = s.nid
     )
-    SELECT qid, nid, ROUND(a, 4) AS adc_score, ROUND(cs, 4) AS score, rnk
+    SELECT qid, nid, FLOOR(a * 10000) / 10000.0 AS adc_score,
+           FLOOR(cs * 10000) / 10000.0 AS score, rnk
     FROM (
       SELECT qid, nid, a, cs,
              ROW_NUMBER() OVER (PARTITION BY qid
@@ -1092,11 +1149,11 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a broadcast semi-join on the shortlist. IVF cell pruning
     (`ivf_kmeans_topk`) composes orthogonally in front of the scan.
 
-    Determinism: codeword assignment orders by ROUND(squared-L2, 6)
+    Determinism: codeword assignment orders by FLOOR-at-6dp squared-L2
     with cid ASC ties (sequential-fold distance, bit-identical both
     engines); centroid means ride order-independent DECIMAL(25,15)
     sums; the ADC sum is a DECIMAL sum of per-subspace dots; shortlist
-    and final ranks carry (rounded score DESC, nid ASC) total orders —
+    and final ranks carry (floored score DESC, nid ASC) total orders —
     the trained codebooks, the codes, the shortlist, and both score
     columns all hash-match the fully-unrolled SQL oracle."""
     v = persist_tracked(
@@ -1126,7 +1183,7 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = j.groupBy("qid", F.col("vec_id").alias("nid")).agg(
         F.sum(F.col("part").cast("decimal(25,15)")).cast("double").alias("a")
     )
-    wa = W.partitionBy("qid").orderBy(F.round("a", 6).desc(), F.col("nid").asc())
+    wa = W.partitionBy("qid").orderBy(_f6(F.col("a")).desc(), F.col("nid").asc())
     shortlist = (
         adc.withColumn("arn", F.row_number().over(wa))
         .filter(F.col("arn") <= _PQ_R)
@@ -1142,7 +1199,7 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q), F.col("qid") == F.col("q_id"))
         .select(
             "qid", "nid", "a",
-            F.round(V.cosine(F.col("qv"), F.col("v")), 6).alias("cs"),
+            _f6(V.cosine(F.col("qv"), F.col("v"))).alias("cs"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("cs").desc(), F.col("nid").asc())
@@ -1152,8 +1209,8 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "nid",
-            F.round("a", 4).alias("adc_score"),
-            F.round("cs", 4).alias("score"),
+            _f4(F.col("a")).alias("adc_score"),
+            _f4(F.col("cs")).alias("score"),
             "rnk",
         )
         .orderBy("qid", "rnk")
@@ -1169,9 +1226,9 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 5),
     scored AS (
       SELECT q.qid, c.vec_id AS nid,
-             ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
-                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
-                   4) AS score
+             FLOOR(({_DOT_SQL.format(a="q.qv", b="c.v")}
+                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}))
+                   * 10000) / 10000.0 AS score
       FROM q JOIN v c ON c.vec_id <> q.qid
     ),
     topk AS (
@@ -1209,7 +1266,7 @@ def retrieval_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
     )
-    score = F.round(dot / (F.col("qnrm") * F.col("nrm")), 4)
+    score = _f4(dot / (F.col("qnrm") * F.col("nrm")))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     topk = (
         pairs.select("qid", F.col("vec_id").alias("nid"), score.alias("score"))
@@ -1235,9 +1292,9 @@ def retrieval_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
     scored AS (
       SELECT q.qid, c.vec_id AS nid,
-             ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
-                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
-                   4) AS score
+             FLOOR(({_DOT_SQL.format(a="q.qv", b="c.v")}
+                   / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}))
+                   * 10000) / 10000.0 AS score
       FROM q JOIN v c ON c.vec_id <> q.qid
     )
     SELECT qid, nid, score, rnk FROM (
@@ -1262,7 +1319,7 @@ def truncated_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    score = F.round(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4)
+    score = _f4(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
         pairs.select("qid", F.col("vec_id").alias("nid"), score.alias("score"))
@@ -1372,9 +1429,9 @@ _PACK_SQL = """list_sum(list_transform(range({lo}, {hi} + 1),
     ),
     rescored AS (
       SELECT qid, nid,
-             ROUND({_DOT_SQL.format(a="qv", b="cv")}
-                   / ({_NORM_SQL.format(a="qv")} * {_NORM_SQL.format(a="cv")}),
-                   4) AS score
+             FLOOR(({_DOT_SQL.format(a="qv", b="cv")}
+                   / ({_NORM_SQL.format(a="qv")} * {_NORM_SQL.format(a="cv")}))
+                   * 10000) / 10000.0 AS score
       FROM coarse
     )
     SELECT qid, nid, score, rnk FROM (
@@ -1431,10 +1488,9 @@ def cascade_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crnk") <= 50)
         .select("qid", F.col("vec_id").alias("nid"), "qv", F.col("v").alias("cv"))
     )
-    score = F.round(
+    score = _f4(
         V.dot(F.col("qv"), F.col("cv"))
-        / (V.l2_norm(F.col("qv")) * V.l2_norm(F.col("cv"))),
-        4,
+        / (V.l2_norm(F.col("qv")) * V.l2_norm(F.col("cv")))
     )
     wf = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
@@ -1457,17 +1513,17 @@ def cascade_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_rank AS (
       SELECT q.qid, c.vec_id AS nid,
              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-               ROUND({_DOT_SQL.format(a="q.qv", b="c.v")}
-                     / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}),
-                     4) DESC, c.vec_id ASC) AS r
+               FLOOR(({_DOT_SQL.format(a="q.qv", b="c.v")}
+                     / ({_NORM_SQL.format(a="q.qv")} * {_NORM_SQL.format(a="c.v")}))
+                     * 10000) / 10000.0 DESC, c.vec_id ASC) AS r
       FROM q JOIN v c ON c.vec_id <> q.qid
     ),
     trunc_rank AS (
       SELECT q.qid, c.vec_id AS nid,
              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-               ROUND({_DOT_SQL.format(a="q.qv16", b="c.v16")}
-                     / ({_NORM_SQL.format(a="q.qv16")} * {_NORM_SQL.format(a="c.v16")}),
-                     4) DESC, c.vec_id ASC) AS r
+               FLOOR(({_DOT_SQL.format(a="q.qv16", b="c.v16")}
+                     / ({_NORM_SQL.format(a="q.qv16")} * {_NORM_SQL.format(a="c.v16")}))
+                     * 10000) / 10000.0 DESC, c.vec_id ASC) AS r
       FROM q JOIN v c ON c.vec_id <> q.qid
     ),
     fused AS (
@@ -1512,9 +1568,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
 
     def tier(vec, qvec, nrm, qnrm):
-        score = F.round(
-            V.dot(F.col(qvec), F.col(vec)) / (F.col(qnrm) * F.col(nrm)), 4
-        )
+        score = _f4(V.dot(F.col(qvec), F.col(vec)) / (F.col(qnrm) * F.col(nrm)))
         w = W.partitionBy("qid").orderBy(score.desc(), F.col("vec_id").asc())
         return F.row_number().over(w)
 
@@ -1543,9 +1597,9 @@ _COSINE_PAIRS_SQL = f"""
       )
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM v a JOIN v b ON a.vec_id < b.vec_id
-      WHERE ROUND({_DOT_SQL.format(a="a.v", b="b.v")}
-                  / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}),
-                  4) >= {_CLUSTER_COS_TH}
+      WHERE FLOOR(({_DOT_SQL.format(a="a.v", b="b.v")}
+                  / ({_NORM_SQL.format(a="a.v")} * {_NORM_SQL.format(a="b.v")}))
+                  * 10000) / 10000.0 >= {_CLUSTER_COS_TH}
 """
 
 
@@ -1573,23 +1627,40 @@ _COSINE_PAIRS_SQL = f"""
 )
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup clusters: cosine >= _CLUSTER_COS_TH near-dup
-    pairs (the blocked numpy kernel; see the constants' comments for
-    the corpus-driven cuts) resolved into transitive components — the
-    embedding-space twin of the n-gram `dedup_clusters`, proving the
-    component operator composes across similarity substrates. Same
-    min-label-propagation fixpoint, same recursive-CTE oracle."""
+    pairs (the blocked numpy kernel as candidate generator; see the
+    constants' comments for the corpus-driven cuts) resolved into
+    transitive components — the embedding-space twin of the n-gram
+    `dedup_clusters`, proving the component operator composes across
+    similarity substrates. Same min-label-propagation fixpoint, same
+    recursive-CTE oracle. The threshold cut re-evaluates the exact
+    sequential fold on the kernel's candidates (same rationale as
+    `embedding_neardup_pairs`: FLOOR makes BLAS fold noise visible at
+    on-grid scores, so the decisive expression must be the oracle's
+    own IEEE tree)."""
     from transit_feed_etl_spark.operators.components import connected_components
 
     emb = table_par(spark, sf_dir, "embeddings")
-    raw = V.blocked_cosine_pairs(
+    cand = V.blocked_cosine_pairs(
         emb,
         "vec_id",
         "embedding",
         _CLUSTER_COS_TH - 1e-4,
         n_blocks=_emb_blocks(spark, sf_dir),
+    ).select("id_a", "id_b")
+    v = emb.select("vec_id", V.as_double("embedding").alias("v")).withColumn(
+        "nrm", V.l2_norm(F.col("v"))
     )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _f4(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     pairs = persist_tracked(
-        raw.select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= _CLUSTER_COS_TH)
         .select("id_a", "id_b")
     )
@@ -1671,11 +1742,12 @@ def _mmr_oracle() -> str:
     """MMR greedy selection unrolled as a CTE chain (same technique as
     the k-means training oracle): each of the 5 steps picks, per query,
     the candidate maximizing lambda*sim(q,c) - (1-lambda)*max_sim(c,
-    selected), with 6dp-rounded scores and nid tie-breaks — every pick
+    selected), with FLOOR-at-6dp scores and nid tie-breaks — every pick
     is value-level differential-checked."""
     cos = (
-        f"ROUND({_DOT_SQL.format(a='{a}', b='{b}')}"
-        f" / ({_NORM_SQL.format(a='{a}')} * {_NORM_SQL.format(a='{b}')}), 4)"
+        f"FLOOR(({_DOT_SQL.format(a='{a}', b='{b}')}"
+        f" / ({_NORM_SQL.format(a='{a}')} * {_NORM_SQL.format(a='{b}')}))"
+        f" * 10000) / 10000.0"
     )
     parts = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -1705,7 +1777,8 @@ def _mmr_oracle() -> str:
       SELECT qid, nid FROM (
         SELECT c.qid, c.nid,
                ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
-                 ROUND({lam} * c.simq - {round(1 - lam, 10)} * COALESCE(p.pen, 0.0), 6)
+                 FLOOR(({lam} * c.simq - {round(1 - lam, 10)} * COALESCE(p.pen, 0.0))
+                   * 1000000) / 1000000.0
                    DESC, c.nid ASC) AS rn
         FROM cand c
         LEFT JOIN (
@@ -1753,7 +1826,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     pairs = v.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    simq = F.round(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4)
+    simq = _f4(V.dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")))
     wq = W.partitionBy("qid").orderBy(simq.desc(), F.col("vec_id").asc())
     # localCheckpoint, not persist: every greedy step's plan would
     # otherwise NEST the previous steps' cached adaptive subplans, and
@@ -1770,8 +1843,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cand.select("qid", F.col("nid").alias("nid1"), F.col("cv").alias("v1"))
     b = cand.select(F.col("qid").alias("qid2"), F.col("nid").alias("nid2"), F.col("cv").alias("v2"))
-    psim = F.round(
-        V.dot(F.col("v1"), F.col("v2")) / (V.l2_norm(F.col("v1")) * V.l2_norm(F.col("v2"))), 4
+    psim = _f4(
+        V.dot(F.col("v1"), F.col("v2")) / (V.l2_norm(F.col("v1")) * V.l2_norm(F.col("v2")))
     )
     pairsim = (
         a.join(b, (F.col("qid") == F.col("qid2")) & (F.col("nid1") != F.col("nid2")))
@@ -1780,6 +1853,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = None  # DataFrame(qid, nid, step)
     lam = _MMR_LAMBDA
+    # the oracle folds round(1-lam, 10) as its literal; using raw
+    # (1 - lam) here would bake the 1-ulp-different Python double
+    # 0.30000000000000004 into the Spark plan — same constant, same bits
+    mu = round(1 - lam, 10)
     for k in range(1, _MMR_K + 1):
         if sel is None:
             pen = None
@@ -1809,8 +1886,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if pen is None:
             scored = scored.select("qid", "nid", "simq", F.lit(None).cast("double").alias("pen"))
-        mmr = F.round(
-            lam * F.col("simq") - (1 - lam) * F.coalesce(F.col("pen"), F.lit(0.0)), 6
+        mmr = _f6(
+            lam * F.col("simq") - mu * F.coalesce(F.col("pen"), F.lit(0.0))
         )
         wp = W.partitionBy("qid").orderBy(mmr.desc(), F.col("nid").asc())
         pick = (
@@ -2106,9 +2183,7 @@ def _semdedup_prune_from_cells(
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cos6 = F.round(
-        V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
+    cos6 = _f6(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     pairs = (
         a.join(
             b,
@@ -2145,7 +2220,7 @@ def _sampled_assignment_parts(
     second 1-iteration chain training super-centroids over the trained
     centroids, then the two-level assignment (vector -> nearest
     super-cell -> nearest centroid within it). Produces the final CTE
-    `cells` (vec_id, cell). Every stage uses the shared rounded-cosine /
+    `cells` (vec_id, cell). Every stage uses the shared floored-cosine /
     cid-ASC tie-break expressions."""
     cos = _COS6
     parts = [

@@ -681,18 +681,20 @@ _DRIFT_ORACLE = f"""
       FROM c, n
     ),
     s AS (
-      SELECT CAST(SUM(CAST((m.c_a + 1) * m.lnr_micro AS DECIMAL(38,0)))
-                  AS DOUBLE)
+      SELECT CAST(SUM(CAST(m.c_a + 1 AS DECIMAL(20,0))
+                      * CAST(m.lnr_micro AS DECIMAL(12,0))) AS DOUBLE)
                / ((SELECT na + v FROM n) * 1000000.0) AS total_kl
       FROM m
     )
     SELECT m.tok, m.c_a, m.c_b,
            m.lnr_micro / 1000000.0 AS lnr,
-           CAST((m.c_a + 1) * m.lnr_micro AS DOUBLE)
+           CAST(CAST(m.c_a + 1 AS DECIMAL(20,0))
+                * CAST(m.lnr_micro AS DECIMAL(12,0)) AS DOUBLE)
              / ((SELECT na + v FROM n) * 1000000.0) AS kl_contrib,
            s.total_kl
     FROM m, s
-    ORDER BY (m.c_a + 1) * m.lnr_micro DESC, m.tok
+    ORDER BY CAST(m.c_a + 1 AS DECIMAL(20,0))
+             * CAST(m.lnr_micro AS DECIMAL(12,0)) DESC, m.tok
     LIMIT {_DRIFT_TOPK}
 """
 
@@ -717,10 +719,16 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard the r10 sweep caught in `doc_bigram_logprob`; FLOOR over
     bit-identical IEEE doubles is portable — registry.py documents the
     hazard class). The KL numerator Σ (c_a+1)·lnr_micro is an exact
-    integer sum (DECIMAL(38,0)-widened, order-independent), and the
-    single final double division by (NA+V)·1e6 is shared by every row.
-    Ranking orders by the exact integer numerator with tok as total
-    tie-break.
+    integer sum: each product multiplies DECIMAL(20,0) × DECIMAL(12,0)
+    operands (ADVICE r11 — a BIGINT product would silently wrap in
+    Spark while DuckDB raises, once c_a ≳ 2e11 with |lnr_micro| ~ 3e7;
+    the decimal operand widths are exact to c_a < 1e20 and
+    |lnr_micro| < 1e12, far beyond the 100 TB domain where
+    c_a ≤ total tokens ~ 2e15 and |lnr_micro| ≤ ln(NA+V)·1e6 ~ 4e7,
+    and out-of-domain values fail LOUDLY on both engines), summed
+    order-independently, and the single final double division by
+    (NA+V)·1e6 is shared by every row. Ranking orders by the exact
+    integer numerator with tok as total tie-break.
 
     Scale design: one explode→(tok)-keyed groupBy with partial aggs
     (the `text_token_stats` exchange class — short token keys, two
@@ -762,10 +770,12 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("na") + F.col("v")).alias("denom"),
     )
     m = persist_tracked(m)
-    num = ((F.col("c_a") + 1) * F.col("lnr_micro")).cast("decimal(38,0)").alias(
-        "num"
+    # exact integer product: DECIMAL(20,0) x DECIMAL(12,0) -> (33,0),
+    # never the silent-wrap BIGINT multiply (ADVICE r11; docstring)
+    prod = (F.col("c_a") + 1).cast("decimal(20,0)") * F.col("lnr_micro").cast(
+        "decimal(12,0)"
     )
-    s = m.select(num, "denom").agg(
+    s = m.select(prod.alias("num"), "denom").agg(
         (
             F.sum("num").cast("double")
             / (F.first("denom") * F.lit(1000000.0))
@@ -778,10 +788,10 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_b",
             (F.col("lnr_micro") / F.lit(1000000.0)).alias("lnr"),
             (
-                ((F.col("c_a") + 1) * F.col("lnr_micro")).cast("double")
+                prod.cast("double")
                 / (F.col("denom") * F.lit(1000000.0))
             ).alias("kl_contrib"),
-            ((F.col("c_a") + 1) * F.col("lnr_micro")).alias("_rank"),
+            prod.alias("_rank"),
         )
         .crossJoin(F.broadcast(s))
         .orderBy(F.col("_rank").desc(), "tok")

@@ -21,10 +21,14 @@ Scale design:
   appended — the store append must not invalidate the lazy plan that
   reads the store (a lazy `fresh` re-evaluated after the append would
   anti-join against its own digests and drop everything).
-- Exactly-once across restarts comes from the streaming checkpoint:
-  a replayed batch re-appends digests (harmless duplicates in the
-  store, still correct dedup semantics) and re-writes the same fresh
-  rows only if the sink write itself failed mid-batch.
+- foreachBatch is AT-LEAST-ONCE (ADVICE r11): a batch retried after
+  its store write would anti-join against its OWN digests and silently
+  emit zero fresh rows. The store write is therefore idempotent per
+  batch — each batch OVERWRITES its own `batch_id=N` subpath, and the
+  store read excludes the current batch's subpath, so a retry
+  recomputes identical fresh rows against exactly the prior history.
+  The fresh-row sink is idempotent the same way (per-batch overwrite
+  in `start_corpus_dedup_stream`).
 """
 
 from __future__ import annotations
@@ -60,19 +64,27 @@ def dedup_batch_against_store(
     store_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int = 0,
 ) -> DataFrame:
     """One foreachBatch body: returns the batch rows whose content was
-    never seen before (in this batch or any prior one) and appends their
-    digests to the store. The returned frame is already materialized."""
+    never seen before (in this batch or any prior one) and writes their
+    digests to the batch's OWN `batch_id={batch_id}` store subpath
+    (overwrite — idempotent under foreachBatch's at-least-once retry;
+    the store read drops rows carrying this batch_id so a retry never
+    anti-joins the batch against its own earlier, failed write). The
+    returned frame is already materialized."""
     spark = batch.sparkSession
     try:
-        seen = spark.read.parquet(store_path).select("digest")
+        seen = spark.read.parquet(store_path)
+        if "batch_id" in seen.columns:
+            seen = seen.filter(F.col("batch_id") != F.lit(int(batch_id)))
+        seen = seen.select("digest")
     except AnalysisException:
         seen = spark.createDataFrame([], "digest string")
     fresh = dedup_round(batch, seen, id_col, text_col).localCheckpoint()
-    # snapshot BEFORE the store append (see module doc)
-    fresh.select(F.col("_digest").alias("digest")).write.mode("append").parquet(
-        store_path
+    # snapshot BEFORE the store write (see module doc)
+    fresh.select(F.col("_digest").alias("digest")).write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={int(batch_id)}"
     )
     return fresh.drop("_digest")
 
@@ -90,9 +102,11 @@ def start_corpus_dedup_stream(
     trigger for continuous operation."""
     stream = spark.readStream.schema("doc_id long, text string").json(spool_dir)
 
-    def process(batch: DataFrame, _batch_id: int) -> None:
-        fresh = dedup_batch_against_store(batch, store_path)
-        fresh.write.mode("append").parquet(out_dir)
+    def process(batch: DataFrame, batch_id: int) -> None:
+        fresh = dedup_batch_against_store(batch, store_path, batch_id=batch_id)
+        # per-batch overwrite: a retried batch replaces its own output
+        # instead of double-appending (module doc, at-least-once note)
+        fresh.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(batch_id)}")
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -28,6 +28,17 @@ Scale design:
   appended to the store — a lazy verdict plan re-evaluated after the
   append would pair arrivals against themselves via the store and
   prune everything with cos 1.0.
+- foreachBatch is AT-LEAST-ONCE (ADVICE r11): if a batch fails after
+  the store write and is retried, a plain append would leave the
+  retried batch's own rows in the store — the store join has no
+  ida != idb guard, so every vector would pair with its own copy at
+  cos 1.0 and be pruned with itself as keeper (and the store would
+  double-append). The store write is therefore idempotent per batch:
+  each batch OVERWRITES its own `batch_id=N` subpath, and the store
+  read for verdict computation excludes the current batch's subpath —
+  a retry recomputes identical verdicts against exactly the
+  strictly-earlier history. The verdict sink is idempotent the same
+  way (per-batch overwrite in `start_semdedup_stream`).
 """
 
 from __future__ import annotations
@@ -36,7 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-_TAU = 0.25  # queries/similarity.py::_SEMDEDUP_TAU (kept in sync by test)
+# single source of truth for the prune threshold — a duplicated literal
+# here could silently drift from the batch face (ADVICE r11); safe to
+# import at module level: queries/similarity.py only imports THIS module
+# lazily inside the twin builder, so there is no import cycle
+from transit_feed_etl_spark.queries.similarity import _SEMDEDUP_TAU as _TAU
 
 
 def semdedup_round(
@@ -52,9 +67,15 @@ def semdedup_round(
     store precedes the whole batch), and returns per-arrival prune
     verdicts (vec_id, cell, keeper_id, max_cos6). A vector's verdict is
     final the round it arrives, so per-round verdicts union to the
-    global recompute — the merge law the batch twin's oracle proves."""
-    cos6 = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    global recompute — the merge law the batch twin's oracle proves.
+    cos6 is FLOOR-truncated at 6dp (r12 repin, the portable IEEE form —
+    see queries/similarity.py's module docstring), matching the batch
+    face's `_semdedup_prune_from_cells` expression exactly."""
+    cos6 = (
+        F.floor(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1000000
+        )
+        / 1000000.0
     )
 
     def _a(df: DataFrame) -> DataFrame:
@@ -149,22 +170,33 @@ def semdedup_batch_against_store(
     cent_path: str,
     n_cells: int = 16,
     tau: float = _TAU,
+    batch_id: int = 0,
 ) -> DataFrame:
     """One foreachBatch body: assign the batch to cells with the frozen
     centroids (training them if this is the first batch ever), compute
-    prune verdicts against the arrival store + in-batch, append the
-    batch's arrivals to the store, and return the verdicts (already
-    materialized — see module doc)."""
+    prune verdicts against the arrival store + in-batch, write the
+    batch's arrivals to its OWN `batch_id={batch_id}` store subpath
+    (overwrite — idempotent under foreachBatch's at-least-once retry,
+    see module doc), and return the verdicts (already materialized).
+    The store read drops rows carrying this batch_id so a retry never
+    pairs the batch against its own earlier, failed write."""
     spark = batch.sparkSession
     cent = ensure_centroids(spark, cent_path, batch, n_cells)
     m = _assigned(batch, cent, n_cells)
     try:
         store = spark.read.parquet(store_path)
+        # partition discovery surfaces batch_id as a column; exclude the
+        # current batch's (possibly half-written, now-stale) subpath and
+        # drop the column so the round sees the stable store schema
+        if "batch_id" in store.columns:
+            store = store.filter(
+                F.col("batch_id") != F.lit(int(batch_id))
+            ).drop("batch_id")
     except AnalysisException:
         store = None
     verdicts = semdedup_round(m, store, tau).localCheckpoint()
-    # snapshot BEFORE the store append (see module doc)
-    m.write.mode("append").parquet(store_path)
+    # snapshot BEFORE the store write (see module doc)
+    m.write.mode("overwrite").parquet(f"{store_path}/batch_id={int(batch_id)}")
     return verdicts
 
 
@@ -188,12 +220,14 @@ def start_semdedup_stream(
         spool_dir
     )
 
-    def process(batch: DataFrame, _batch_id: int) -> None:
+    def process(batch: DataFrame, batch_id: int) -> None:
         v = batch.select("vec_id", V.as_double("embedding").alias("v"))
         verdicts = semdedup_batch_against_store(
-            v, store_path, cent_path, n_cells=n_cells, tau=tau
+            v, store_path, cent_path, n_cells=n_cells, tau=tau, batch_id=batch_id
         )
-        verdicts.write.mode("append").parquet(out_dir)
+        # per-batch overwrite: a retried batch replaces its own output
+        # instead of double-appending (module doc, at-least-once note)
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(batch_id)}")
 
     return (
         stream.writeStream.foreachBatch(process)
