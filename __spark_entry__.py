@@ -238,7 +238,16 @@ PRIORITY: tuple[str, ...] = (
 # (VERIFICATION §1 r12). The two gram-kernel queries additionally
 # rescore kernel candidates with the exact sequential fold, since
 # FLOOR exposes BLAS summation noise at on-grid scores (cos = 1.0).
+# Also round 12: the two xxhash64 simhash queries were PROMOTED from
+# driver-exempt to bound-style oracles (VERDICT r11 "What's missing"
+# #3); their only rows are r1 no_oracle ones, which must not count as
+# attested for the new oracle shape (exactly the ADVICE r5 rule this
+# dict's third-element check encodes). Their REGISTERED_IN_ROUND
+# entries (tools/staleness_table.py) label them pending-first-row in
+# the staleness table; THESE entries front them in the ordering.
 FORCE_RECHECK: dict[str, int] = {
+    "simhash_fingerprints": 12,
+    "simhash_neardup_pairs": 12,
     "cosine_topk_bruteforce": 12,
     "embedding_neardup_pairs": 12,
     "ann_lsh_topk": 12,

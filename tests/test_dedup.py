@@ -52,10 +52,17 @@ def test_minhash_jaccard_values_match_exact(spark):
 
 
 def test_simhash_deterministic(spark):
-    a = QUERIES["simhash_fingerprints"].builder(spark, SF_DIR).collect()
-    b = QUERIES["simhash_fingerprints"].builder(spark, SF_DIR).collect()
+    # the raw xx fingerprints live on the operator; the registered query
+    # exposes the bound-style audit shape since the r12 promotion
+    fps = lambda: MH.simhash(  # noqa: E731
+        table_par(spark, SF_DIR, "documents"), id_col="doc_id", text_col="text"
+    ).orderBy("doc_id").collect()
+    a, b = fps(), fps()
     assert [(r.doc_id, r.simhash) for r in a] == [(r.doc_id, r.simhash) for r in b]
     assert len(a) == table_par(spark, SF_DIR, "documents").count()
+    # and the promoted query's guarantee booleans hold on real data
+    rows = QUERIES["simhash_fingerprints"].builder(spark, SF_DIR).collect()
+    assert rows and all(r.dup_consistent and r.n_tokens_match for r in rows)
 
 
 def test_simhash_near_dups_have_small_hamming(spark):

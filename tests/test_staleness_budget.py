@@ -65,17 +65,20 @@ def test_verification_doc_table_is_current():
 
 
 def test_registered_in_round_entries_still_bind():
-    """REGISTERED_IN_ROUND (post-closure additions) is rotation state
-    like FORCE_RECHECK: an entry whose query has ANY driver row must be
-    pruned — a stale entry would re-label a genuine rotation defect as
-    'pending-first-row' forever."""
+    """REGISTERED_IN_ROUND (post-closure additions and driver-exempt
+    PROMOTIONS) is rotation state like FORCE_RECHECK: an entry whose
+    query has a driver row from its first eligible round or later must
+    be pruned — a stale entry would re-label a genuine rotation defect
+    as 'pending-first-row' forever. Rows that PREDATE the entry's round
+    do not satisfy it (a promoted query's old no_oracle rows attest the
+    pre-promotion shape, r12 simhash case)."""
     import __spark_entry__ as E
     from tools.staleness_table import REGISTERED_IN_ROUND
 
     verdicts = E._load_verdicts()
     for name, first_round in REGISTERED_IN_ROUND.items():
         row = verdicts.get(name)
-        assert row is None, (
+        assert row is None or row[0] < first_round, (
             f"REGISTERED_IN_ROUND[{name!r}]={first_round} is satisfied by "
             f"an r{row[0]} driver row — prune it. EXPECTED at round start "
             "(ADVICE r7): run python tools/round_start.py for the prune list."

@@ -120,7 +120,10 @@ def main() -> int:
             prunes.append(f"FORCE_RECHECK[{name!r}]")
         print(f"FORCE_RECHECK {name} (r{min_round}+): {state}")
     for name, first_round in REGISTERED_IN_ROUND.items():
-        if name in verdicts:
+        row = verdicts.get(name)
+        # rows predating the entry's round don't satisfy it: a promoted
+        # query's old no_oracle rows attest the pre-promotion shape
+        if row is not None and row[0] >= first_round:
             prunes.append(f"REGISTERED_IN_ROUND[{name!r}]")
             print(f"REGISTERED_IN_ROUND {name}: row landed -> prune")
         else:
