@@ -87,6 +87,8 @@ HEADLINE = (
     "incremental_semdedup_rounds",  # incremental semantic dedup (r11)
     "domain_mixture_sample",     # temperature-weighted dataset mixing (r11)
     "softdedup_weights",         # soft dedup: per-doc sampling weights (r11)
+    "corpus_snapshot_diff",      # dataset-versioning content diff (r12)
+    "epoch_training_order",      # repetition-aware deterministic order (r12)
 )
 
 
@@ -535,7 +537,15 @@ def main() -> None:
         os.path.join(os.path.dirname(__file__) or ".", "bench_detail.json"), "w"
     ) as f:
         json.dump(detail, f, indent=1)
-    print(json.dumps(out))
+    print(_stdout_line(out))
+
+
+def _stdout_line(out: dict) -> str:
+    """The exact driver-contract stdout line. Compact separators (r12:
+    the 57-entry 2dp map outgrew the 1900-char headroom budget at
+    default separators — ", "/": " spend ~120 chars on whitespace the
+    driver's JSON parser never needed)."""
+    return json.dumps(out, separators=(",", ":"))
 
 
 def _gate_verdicts(

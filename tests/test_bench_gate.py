@@ -188,13 +188,15 @@ def test_stdout_line_fits_driver_capture():
 
     t = {n: 123.456 for n in bench.HEADLINE}
     out, detail = bench._artifacts(t, t, {n: 99.9 for n in t}, 0.1, passes=3)
-    line = json.dumps(out)
+    line = bench._stdout_line(out)
     # 100 chars of headroom under the measured hard truncation forces a
     # layout decision (shorter names / trimmed payload) before growth
     # ever reaches the capture limit. Round 11 made that decision when
-    # the 55-entry 3dp map outgrew the budget: stdout query values are
-    # 2dp and value_median/passes are sidecar-only.
+    # the 55-entry 3dp map outgrew the budget (stdout query values are
+    # 2dp and value_median/passes are sidecar-only); round 12 switched
+    # to compact JSON separators when the 57-entry map outgrew it.
     assert len(line) < bench.DRIVER_TAIL_CAPTURE - 100, len(line)
+    assert json.loads(line) == out  # compact separators stay valid JSON
     assert out["queries"] == {n: 123.46 for n in t}
     assert "queries_median" not in out and "value_median" not in out
     assert detail["queries_median"] == t and detail["queries_spread_pct"]

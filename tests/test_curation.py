@@ -142,3 +142,63 @@ def test_html_extraction_roundtrips_every_document(spark, sf_dir):
         assert r["text_chars"] + r["boilerplate_pct"] >= 0  # schema sanity
         if r["text_chars"] > 0:
             assert r["boilerplate_pct"] < 100
+
+
+def test_snapshot_diff_statuses_match_the_shim_predicates(spark):
+    """Value contract for corpus_snapshot_diff beyond the differential
+    oracle: the testdata shim makes each status a pure doc_id
+    predicate — added = only-in-B (doc_id % 3 == 0), removed =
+    only-in-A (doc_id % 3 == 1), changed = in both AND modified
+    (doc_id % 3 == 2 and % 7 == 0) — and unchanged docs must not
+    appear at all."""
+    rows = QUERIES["corpus_snapshot_diff"].builder(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r["doc_id"])
+        if r["status"] == "added":
+            assert r["doc_id"] % 3 == 0 and r["old_md5"] is None
+        elif r["status"] == "removed":
+            assert r["doc_id"] % 3 == 1 and r["new_md5"] is None
+        else:
+            assert r["status"] == "changed"
+            assert r["doc_id"] % 3 == 2 and r["doc_id"] % 7 == 0
+            assert r["old_md5"] != r["new_md5"]
+    # every unchanged doc (in both snapshots, not modified) is absent
+    import duckdb
+
+    unchanged = {
+        x[0]
+        for x in duckdb.connect()
+        .execute(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet' "
+            "WHERE doc_id % 3 = 2 AND doc_id % 7 <> 0"
+        )
+        .fetchall()
+    }
+    assert not (seen & unchanged)
+
+
+def test_epoch_training_order_copies_and_order_are_lawful(spark):
+    """Value contracts for epoch_training_order beyond the oracle:
+    per-doc copies form exactly 1..n_copies with n_copies <= cap+1;
+    the emitted rows are sorted by (order_key, doc_id, copy_idx); two
+    builds are identical (no RNG anywhere); and for a domain whose
+    integral epoch count is zero, the copy-holders are exactly the
+    mixture query's accepted docs (the fractional epoch IS the
+    mixture's acceptance test — the law tying the two stages)."""
+    from transit_feed_etl_spark.queries.cleaning import _EPOCH_CAP
+
+    rows = QUERIES["epoch_training_order"].builder(spark, SF_DIR).collect()
+    assert rows
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+        assert 1 <= r["n_copies"] <= _EPOCH_CAP + 1
+    for doc, rs in per_doc.items():
+        idxs = sorted(x["copy_idx"] for x in rs)
+        assert idxs == list(range(1, rs[0]["n_copies"] + 1)), (doc, idxs)
+    keys = [(r["order_key"], r["doc_id"], r["copy_idx"]) for r in rows]
+    assert keys == sorted(keys)
+    again = QUERIES["epoch_training_order"].builder(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

@@ -88,6 +88,13 @@ NARROW_BOUNDS = {
     # partials (corpus-INDEPENDENT record count, ~2.3 KB rows), exactly
     # the semdedup_prune / semdedup_prune_sampled contract
     "incremental_semdedup_rounds": (56, 160),
+    # both snapshot sides reduce to (doc_id, 16-byte digest) at the
+    # scan; the full-outer join shuffles 56 B/rec, never text
+    "corpus_snapshot_diff": (80, 0),
+    # two ~23-key domain groupBys (partial rows: domain + 2 longs,
+    # measured 40 B/rec); epoch math + copy explode are map-side and
+    # the constants ride ONE broadcast row
+    "epoch_training_order": (56, 0),
 }
 
 

@@ -1123,6 +1123,58 @@ def domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # down-sampled and the tail is up-weighted relative to raw share; the
 # corpus-level token budget T = total_chars // 2 is split T·w_d/Σw
 # per domain and converted to a deterministic hash acceptance test.
+def _mix_domain_rows(d):
+    """(doc_id, n_chars, domain, h): the shared per-doc relation of the
+    mixing family — synthetic host from doc_id (the deterministic
+    testdata shim for a URL column), registered-domain extraction, and
+    the portable 60-bit selection hash reduced to micro-units. Kept
+    expression-identical between `domain_mixture_sample` and
+    `epoch_training_order` so both oracles share one SQL CTE shape."""
+    from transit_feed_etl_spark.operators import minhash as MH
+
+    sub = F.col("doc_id") % 4
+    site = F.col("doc_id") % 23
+    host = F.concat(
+        F.when(sub == 0, F.lit("www."))
+        .when(sub == 1, F.lit(""))
+        .when(sub == 2, F.lit("blog."))
+        .otherwise(F.lit("news.")),
+        F.lit("site"),
+        site.cast("string"),
+        F.when(site % 3 == 0, F.lit(".com"))
+        .when(site % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".co.uk")),
+    )
+    return (
+        d.select("doc_id", "n_chars", host.alias("host"))
+        .withColumn(
+            "domain",
+            F.when(
+                F.col("host").endswith(".co.uk"),
+                F.regexp_extract("host", r"([^.]+\.co\.uk)$", 1),
+            ).otherwise(F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)),
+        )
+        .withColumn(
+            "h",
+            MH.portable_hash60(F.col("doc_id").cast("string")) % 1000000,
+        )
+    )
+
+
+def _mix_domain_weights(r):
+    """(domain, n_docs, total_chars, weight_micro): per-domain masses
+    and FLOOR(sqrt(chars)*1e6) alpha=0.5 sampling weights — one
+    ~23-key groupBy with map-side partials."""
+    return r.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.floor(F.sqrt(F.sum("n_chars").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+
+
+
 _MIX_BUDGET_DIV = 2  # target budget = total corpus chars // 2
 
 
@@ -1226,43 +1278,9 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     `domain_doc_stats` measures the mix, `domain_capped_sample` caps
     per-domain document counts, and this query produces the actual
     temperature-flattened training-mix sample."""
-    from transit_feed_etl_spark.operators import minhash as MH
-
     d = table_par(spark, sf_dir, "documents")
-    sub = F.col("doc_id") % 4
-    site = F.col("doc_id") % 23
-    host = F.concat(
-        F.when(sub == 0, F.lit("www."))
-        .when(sub == 1, F.lit(""))
-        .when(sub == 2, F.lit("blog."))
-        .otherwise(F.lit("news.")),
-        F.lit("site"),
-        site.cast("string"),
-        F.when(site % 3 == 0, F.lit(".com"))
-        .when(site % 3 == 1, F.lit(".org"))
-        .otherwise(F.lit(".co.uk")),
-    )
-    r = (
-        d.select("doc_id", "n_chars", host.alias("host"))
-        .withColumn(
-            "domain",
-            F.when(
-                F.col("host").endswith(".co.uk"),
-                F.regexp_extract("host", r"([^.]+\.co\.uk)$", 1),
-            ).otherwise(F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)),
-        )
-        .withColumn(
-            "h",
-            MH.portable_hash60(F.col("doc_id").cast("string")) % 1000000,
-        )
-    )
-    dw = r.groupBy("domain").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.floor(F.sqrt(F.sum("n_chars").cast("double")) * 1000000)
-        .cast("bigint")
-        .alias("weight_micro"),
-    )
+    r = _mix_domain_rows(d)
+    dw = _mix_domain_weights(r)
     g = dw.agg(
         F.sum("weight_micro").cast("bigint").alias("m_sum"),
         F.sum("total_chars").cast("bigint").alias("tc"),
@@ -1313,4 +1331,158 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sel_chars",
         )
         .orderBy("domain")
+    )
+
+
+_EPOCH_CAP = 3  # max repetitions per document (standard data-recipe cap)
+
+
+@register(
+    "epoch_training_order",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {{host}} AS host FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN host LIKE '%.co.uk'
+                  THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+             END AS domain,
+             CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) % 1000000 AS h
+      FROM u
+    ),
+    dw AS (
+      SELECT domain,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS weight_micro
+      FROM r GROUP BY domain
+    ),
+    g AS (
+      SELECT CAST(SUM(weight_micro) AS BIGINT) AS m_sum,
+             CAST(SUM(total_chars) AS BIGINT) // {{bdiv}} AS t_budget
+      FROM dw
+    ),
+    st AS (
+      SELECT r.doc_id, r.domain, r.h,
+             CAST((SELECT t_budget FROM g) AS HUGEINT) * dw.weight_micro AS num,
+             CAST((SELECT m_sum FROM g) AS HUGEINT) * dw.total_chars AS den
+      FROM r JOIN dw ON dw.domain = r.domain
+    ),
+    cp AS (
+      SELECT doc_id, domain,
+             CAST(LEAST(num // den, {{cap}})
+                  + CASE WHEN num // den < {{cap}}
+                              AND CAST(h AS HUGEINT) * den
+                                  < CAST(1000000 AS HUGEINT)
+                                    * (num - (num // den) * den)
+                         THEN 1 ELSE 0 END AS INT) AS n_copies
+      FROM st
+    ),
+    ex AS (
+      SELECT doc_id, domain, n_copies,
+             UNNEST(range(1, n_copies + 1)) AS ci
+      FROM cp WHERE n_copies >= 1
+    )
+    SELECT doc_id, domain, CAST(ci AS INT) AS copy_idx, n_copies,
+           CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR),
+                ':', CAST(ci AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)
+             AS order_key
+    FROM ex
+    ORDER BY order_key, doc_id, copy_idx
+    """.replace("{host}", _DOMAIN_HOST_SQL)
+    .replace("{bdiv}", str(_MIX_BUDGET_DIV))
+    .replace("{cap}", str(_EPOCH_CAP)),
+)
+def epoch_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware training order (the data-recipe stage after
+    `domain_mixture_sample`): each domain's temperature-flattened char
+    budget T*w_d/SUM(w) converts into per-document EPOCH counts — the
+    integer part repeats every doc, the fractional epoch selects docs
+    by the same deterministic hash acceptance as the mixing query, and
+    repetitions are capped at {_EPOCH_CAP} (the public-recipe rule that
+    a source is repeated only a few times before returns vanish). Every
+    (doc, copy) then gets a deterministic 60-bit ORDER KEY — the
+    portable hash of "doc_id:copy_idx" — producing a reproducible
+    global shuffle of the mixed corpus WITHOUT any RNG state or global
+    row numbering: the loader range-partitions on order_key and reads
+    in key order, and two copies of one document land in unrelated
+    positions.
+
+    Exactness: epochs are computed as exact integer division
+    num // den with num = T*w_d and den = SUM(w)*chars_d (HUGEINT /
+    DECIMAL(38,0) — no floats), the fractional acceptance is the exact
+    cross-multiplication h*den < 1e6*(num mod den), and the order key
+    is md5-derived — every value bit-identical cross-engine. Domain
+    bound: h*den <= 1e6 * SUM(w) * chars_d ~ 3e36 at 100 TB, inside
+    DECIMAL(38,0) (same precondition as domain_mixture_sample,
+    documented there).
+
+    Scale design: two ~23-key domain groupBys + ONE broadcast constants
+    row; the per-doc epoch math and the copy explode (fan-out <=
+    {_EPOCH_CAP} + 1) are map-side; the only corpus-wide movement is
+    the presentation sort on order_key — which at 100 TB IS the
+    intended write partitioning, not overhead."""
+    d = table_par(spark, sf_dir, "documents")
+    r = _mix_domain_rows(d)
+    dw = _mix_domain_weights(r)
+    g = dw.agg(
+        F.sum("weight_micro").cast("bigint").alias("m_sum"),
+        F.sum("total_chars").cast("bigint").alias("tc"),
+    ).select("m_sum", F.expr(f"tc div {_MIX_BUDGET_DIV}").alias("t_budget"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    st = (
+        r.join(
+            F.broadcast(dw.select("domain", "total_chars", "weight_micro")),
+            "domain",
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "domain",
+            "h",
+            (dec("t_budget") * dec("weight_micro")).alias("num"),
+            (dec("m_sum") * dec("total_chars")).alias("den"),
+        )
+        .selectExpr("doc_id", "domain", "h", "num", "den", "num div den AS full_raw")
+        .selectExpr("*", "num - full_raw * den AS rem")
+    )
+    accept_frac = (F.col("full_raw") < _EPOCH_CAP) & (
+        dec("h") * F.col("den")
+        < F.lit(1000000).cast("decimal(38,0)") * F.col("rem")
+    )
+    cp = st.select(
+        "doc_id",
+        "domain",
+        (
+            F.least(F.col("full_raw"), F.lit(_EPOCH_CAP))
+            + F.when(accept_frac, 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_copies"),
+    ).filter(F.col("n_copies") >= 1)
+    from transit_feed_etl_spark.operators import minhash as MH
+
+    order_key = MH.portable_hash60(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("copy_idx").cast("string")
+        )
+    )
+    return (
+        cp.select(
+            "doc_id",
+            "domain",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+            "n_copies",
+        )
+        .select(
+            "doc_id",
+            "domain",
+            F.col("copy_idx").cast("int").alias("copy_idx"),
+            "n_copies",
+            order_key.alias("order_key"),
+        )
+        .orderBy("order_key", "doc_id", "copy_idx")
     )

@@ -616,3 +616,70 @@ def line_dedup_across_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 3 <> 0
+    ),
+    b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+               AS new_md5
+      FROM documents WHERE doc_id % 3 <> 1
+    )
+    SELECT doc_id,
+           CASE WHEN old_md5 IS NULL THEN 'added'
+                WHEN new_md5 IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           old_md5, new_md5
+    FROM a FULL JOIN b USING (doc_id)
+    WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
+    ORDER BY doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset versioning: content-level diff between two corpus
+    snapshots — the added / removed / changed manifest a pipeline
+    publishes alongside each training-set release (and the input to
+    incremental downstream refresh: only 'added'+'changed' re-enter the
+    dedup/quality stages; 'removed' retracts). Snapshots are the
+    deterministic testdata shim (A = doc_id % 3 != 0, B = doc_id % 3
+    != 1 — overlapping id ranges so all three statuses occur; B
+    additionally modifies every 7th doc's text, the 'changed' class).
+
+    Scale design: each side reduces to (doc_id, 16-byte digest) AT THE
+    SCAN — the full-outer join shuffles ~48 B/rec key+digest rows,
+    never text; unchanged rows (the vast majority of a real
+    snapshot-over-snapshot diff) are dropped by the digest inequality
+    before the presentation sort. At 100 TB both snapshots live
+    bucketed by doc_id, making the diff a co-located zipper join."""
+    d = table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("old_md5")
+    )
+    b = d.filter(F.col("doc_id") % 3 != 1).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("new_md5"),
+    )
+    status = (
+        F.when(F.col("old_md5").isNull(), "added")
+        .when(F.col("new_md5").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        a.join(b, ["doc_id"], "full_outer")
+        .filter(
+            F.col("old_md5").isNull()
+            | F.col("new_md5").isNull()
+            | (F.col("old_md5") != F.col("new_md5"))
+        )
+        .select("doc_id", status.alias("status"), "old_md5", "new_md5")
+        .orderBy("doc_id")
+    )
