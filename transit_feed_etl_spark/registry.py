@@ -16,15 +16,30 @@ insensitive value hash):
 - AVG is expressed as exact-decimal SUM (cast to double) / COUNT so both
   engines perform the identical single double division.
 - Any LIMIT/top-k carries a total tie-breaking ORDER BY.
-- ROUND(double, k) is NOT portable at half-boundaries: Spark rounds the
-  shortest decimal representation HALF_UP while DuckDB rounds the
-  binary double, so a value landing exactly on a .5*10^-k boundary can
-  differ by one ulp of the rounded scale (r10 sf0.1 sweep: bigram
-  avg_logprob -3.4078655). Where the input double is bit-identical on
-  both engines (exact decimal sums, IEEE division), prefer
-  FLOOR(x * 10^k) / 10^k — all-IEEE ops, engine-identical. Existing
-  ROUND columns are kept (10 rounds of 3-sf sweeps back them); any
-  sweep-caught boundary flips to FLOOR with a FORCE_RECHECK entry.
+- ROUND(double, k) is NOT portable at half-boundaries, and as of r12
+  this is MEASURED, not inferred: probing the engines directly found
+  42/5000 near-half-boundary doubles disagreeing at 6dp and 573/10000
+  6dp-grid values disagreeing at 4dp — for the SAME input double
+  (Spark rounds via BigDecimal on the binary expansion HALF_UP; DuckDB
+  rounds x*10^k; the r10 sf0.1 sweep's bigram avg_logprob -3.4078655
+  was this class). FLOOR(x * 10^k) / 10^k is the portable form — the
+  multiply by an exactly-representable power of ten, the floor, and
+  the divide are each correctly-rounded IEEE ops on the same input:
+  0/5000 disagreements in the same probe. Policy:
+  * NEW queries use FLOOR for every fractional-scale double rounding.
+  * The cosine family (similarity.py, graph.py knn, streaming
+    semdedup) converted wholesale in r12 with FORCE_RECHECK rows.
+  * Remaining ROUND columns in other families (textops ratios,
+    aggregates moments/percentiles, windows pct_rank, jaccard 6dp —
+    mostly quotients of exact integer sums, where a half-boundary
+    needs the rational value to sit within ulps of .5*10^-k) are kept:
+    11 rounds of 3-sf sweeps back them, and converting a family
+    invalidates its attesting rows — flip families opportunistically
+    with FORCE_RECHECK entries, or immediately when a sweep catches a
+    boundary.
+  * ROUND to INTEGER (scale 0) is portable and stays: neither engine
+    multiplies, and HALF_UP vs half-away-from-zero agree on every
+    double including exact .5 halves.
 """
 
 from __future__ import annotations
