@@ -861,37 +861,64 @@ def test_pq_adc_rerank_broadcasts_codebooks_and_shortlist(spark):
 
 
 def test_pq_lloyd_training_is_broadcast_plus_partial_aggs(spark):
-    """The PQ codebook training plan itself (all M subspaces in ONE
-    (m, vec_id, sv) frame): centroids and the 16-row dims anchor
-    broadcast onto the corpus — assignment never sort-merges or goes
-    cartesian — and the per-(m, cid, dim) centroid means partial-
-    aggregate map-side before their exchange (the `kmeans_train`
-    contract, restated for the fused multi-subspace frame)."""
+    """One PQ Lloyd ROUND (all M subspaces in ONE (m, vec_id, sv)
+    frame), pinned pre-checkpoint since `_pq_lloyd` now truncates each
+    round's plan: codeword assignment is a map-side fold over the
+    broadcast per-subspace codeword map — the corpus frame never
+    exchanges and never enters a window (the r11 shape paid an
+    n x M x K row_number exchange per round) — and the per-(m, cid)
+    centroid means partial-aggregate map-side into the single
+    (m, cid)-keyed exchange (the `kmeans_train` contract, restated for
+    the fused multi-subspace frame)."""
+    from pyspark.sql import functions as F
     from transit_feed_etl_spark.io import table_par
     from transit_feed_etl_spark.operators import vectors as V
     import transit_feed_etl_spark.queries.similarity as S
 
-    # the registered query persists subs/cb with IDENTICAL logical
-    # plans; Spark's cache manager would substitute them here and
-    # collapse the training plan to an InMemoryTableScan (observed as
-    # a test-order dependency) — clear first so the TRAINING plan is
-    # what gets pinned
+    # the registered query persists subs with an IDENTICAL logical
+    # plan; Spark's cache manager would substitute it here and collapse
+    # the assignment plan to an InMemoryTableScan (observed as a
+    # test-order dependency) — clear first so the TRAINING plan is what
+    # gets pinned
     spark.catalog.clearCache()
     v = table_par(spark, SF, "embeddings").select(
         "vec_id", V.as_double("embedding").alias("v")
     )
-    cb = S._pq_lloyd(S._pq_subvectors(v))
-    cb.collect()
-    plan = cb._jdf.queryExecution().executedPlan().toString().split(
+    subs = S._pq_subvectors(v)
+    cent = subs.filter(F.col("vec_id") < S._PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    asg = S._pq_nearest_code(subs, cent, keep=("sv",)).select(
+        "m", F.col("code").alias("cid"), "sv"
+    )
+    new_cv = asg.groupBy("m", "cid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(F.element_at("sv", i).cast("decimal(25,15)")).alias(f"s{i}")
+            for i in range(1, S._PQ_DSUB + 1)
+        ],
+    )
+    new_cv.collect()
+    plan = new_cv._jdf.queryExecution().executedPlan().toString().split(
         "== Initial Plan =="
     )[0]
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
-    # only the tiny dims anchor may nested-loop (the `_ivf_assign`-style
-    # 16-row broadcast); one per Lloyd iteration
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:2000]
+    # no window argmin anywhere: assignment is the fold
+    assert "Window" not in plan, plan[:2000]
+    # the only broadcast is the one-row codeword map (a tiny-anchor
+    # nested loop, the `_assign1` shape)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+    # ONE corpus-side hash exchange: the (m, cid)-keyed means, fed by
+    # map-side partial sums (the broadcast build side of the codeword
+    # map carries its own tiny groupBy("m") exchange)
     assert "partial_sum" in plan
+    corpus_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "cid" in ln
+    ]
+    assert len(corpus_exchanges) <= 1, plan[:2000]
 
 
 def test_url_canonical_dedup_single_exchange_scan_stage_canon(spark):

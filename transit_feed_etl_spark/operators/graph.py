@@ -197,10 +197,22 @@ def triangle_count(
             F.col("e2.dst").alias("z"),
         )
     )
+    # ONE evaluation of the wedge join: the three per-endpoint node
+    # streams come from an explode over the triangle row, not a 3-way
+    # unionAll of tri projections — union branches are separate plan
+    # subtrees and there is no exchange between the join and the union
+    # for ReuseExchange to share, so the 3-branch shape re-executed the
+    # ENTIRE wedge join three times (r12 job profile: 3 identical
+    # multi-second join jobs per pass at sf0.1 — guide §1.2 step 1,
+    # don't recompute what you already have). explode(array(x,y,z))
+    # yields the identical node multiset, so the per-node counts are
+    # byte-identical.
     return (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(
+            F.explode(
+                F.array(F.col("x"), F.col("y"), F.col("z"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )

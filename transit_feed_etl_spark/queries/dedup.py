@@ -945,21 +945,35 @@ def incremental_lsh_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             MH.lsh_band_keys(64, 16).alias("_bk"),
         ).select("_id", "_round", F.posexplode("_bk").alias("_band", "_bkey"))
     )
-    store = spark.createDataFrame([], "id long, band int, bkey long")
     cand_frames: list[DataFrame] = []
     for k in range(_LSH_ROUNDS_K):
         batch = e.filter(F.col("_round") == k)
-        cross = (
-            batch.join(
-                store,
-                (batch["_band"] == store["band"])
-                & (batch["_bkey"] == store["bkey"]),
+        if k:
+            # The round-k store is ONE filter over the persisted band
+            # cache, not a k-branch union of prior batches: the union
+            # form rescanned the cache once per branch in every store
+            # join's build (guide §2.3 — one predicate selects the same
+            # rows). _round < k holds exactly rounds 0..k-1, so the
+            # candidate set is byte-identical; round 0 has no history
+            # and contributes no cross frame (the union of an empty
+            # relation it previously carried).
+            store = e.filter(F.col("_round") < k).select(
+                F.col("_id").alias("id"),
+                F.col("_band").alias("band"),
+                F.col("_bkey").alias("bkey"),
             )
-            .select(
-                F.least(F.col("_id"), F.col("id")).alias("id_a"),
-                F.greatest(F.col("_id"), F.col("id")).alias("id_b"),
+            cross = (
+                batch.join(
+                    store,
+                    (batch["_band"] == store["band"])
+                    & (batch["_bkey"] == store["bkey"]),
+                )
+                .select(
+                    F.least(F.col("_id"), F.col("id")).alias("id_a"),
+                    F.greatest(F.col("_id"), F.col("id")).alias("id_b"),
+                )
             )
-        )
+            cand_frames.append(cross)
         a, b = batch.alias("a"), batch.alias("b")
         inb = (
             a.join(
@@ -972,14 +986,7 @@ def incremental_lsh_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
             )
         )
-        cand_frames.extend([cross, inb])
-        store = store.unionByName(
-            batch.select(
-                F.col("_id").alias("id"),
-                F.col("_band").alias("band"),
-                F.col("_bkey").alias("bkey"),
-            )
-        )
+        cand_frames.append(inb)
     candidates = cand_frames[0]
     for f in cand_frames[1:]:
         candidates = candidates.unionByName(f)

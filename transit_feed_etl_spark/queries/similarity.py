@@ -711,6 +711,23 @@ def kmeans_train(
             F.col("vec_id") < (n_cells if seed_below is None else seed_below)
         ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
+    # The 2 x dim aggregate/mean Column lists are loop-invariant
+    # (unbound expressions) — build them ONCE. Constructing ~130 Column
+    # objects is ~260 py4j round-trips plus analyzer passes over the
+    # wide agg per iteration; hoisting them measured ~0.2-0.3 s per
+    # Lloyd round of pure driver time at sf0.1 (guide §1.2 step 2:
+    # per-task work includes the driver's per-iteration plan work in an
+    # iterative operator).
+    sum_cols = [
+        F.sum(F.element_at("v", i).cast("decimal(25,15)")).alias(f"s{i}")
+        for i in range(1, dim + 1)
+    ]
+    mean_arr = F.array(
+        *[
+            F.col(f"s{i}").cast("double") / F.col("cnt")
+            for i in range(1, dim + 1)
+        ]
+    ).alias("cv_new")
     for _ in range(iters):
         asg = _assign1(v, cent).select(F.col("cell").alias("cid"), "v")
         # Per-dim means as ONE wide (cid)-keyed aggregate — dim decimal
@@ -722,24 +739,8 @@ def kmeans_train(
         # oracle computes, and array(i=1..dim) preserves dim order.
         new_cv = (
             asg.groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[
-                    F.sum(
-                        F.element_at("v", i).cast("decimal(25,15)")
-                    ).alias(f"s{i}")
-                    for i in range(1, dim + 1)
-                ],
-            )
-            .select(
-                "cid",
-                F.array(
-                    *[
-                        F.col(f"s{i}").cast("double") / F.col("cnt")
-                        for i in range(1, dim + 1)
-                    ]
-                ).alias("cv_new"),
-            )
+            .agg(F.count(F.lit(1)).alias("cnt"), *sum_cols)
+            .select("cid", mean_arr)
         )
         # empty cells keep their previous centroid (deterministic both
         # sides). Eager localCheckpoint per round (round-9 REVERSAL of
@@ -958,19 +959,66 @@ def _pq_subvectors(v: DataFrame) -> DataFrame:
     ).select(F.col("m").cast("int").alias("m"), "vec_id", "sv")
 
 
-def _pq_nearest_code(subs: DataFrame, cb: DataFrame) -> DataFrame:
-    """(m, vec_id, code): each subvector's nearest codeword in ITS
-    subspace by floored squared-L2, ties on cid ASC — the PQ analogue
-    of `_ivf_assign`, all M subspaces in one broadcast join + one
-    narrow (m, vec_id)-keyed argmin exchange."""
-    d6 = _f6(_pq_l2(F.col("sv"), F.col("cv")))
-    wa = W.partitionBy("m", "vec_id").orderBy(F.col("d6").asc(), F.col("cid").asc())
+def _pq_cand_map(cb: DataFrame) -> DataFrame:
+    """One-row frame: m -> cid-ASC-sorted array of (cid, cv) structs —
+    the broadcast side of the map-side PQ codeword argmin
+    (`_fold_argmin_code`), the `_cand_array` construction restated per
+    subspace."""
     return (
-        subs.join(F.broadcast(cb), "m")
-        .select("m", "vec_id", "cid", d6.alias("d6"))
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("m", "vec_id", F.col("cid").alias("code"))
+        cb.groupBy("m")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            ).alias("cands")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("m"), F.col("cands")))
+            ).alias("_cmap")
+        )
+    )
+
+
+def _fold_argmin_code(cands, sv):
+    """Per-row argmin over a cid-ASC-sorted codeword array: a
+    strictly-less fold keeps the FIRST best, reproducing the oracle's
+    ROW_NUMBER() OVER (ORDER BY d6 ASC, cid ASC) = 1 as a map-side
+    expression — the `_fold_argmax_cell` construction with the
+    comparison direction flipped for distances. Infinity sits above
+    every real floored squared-L2, so the first candidate always beats
+    the init; d6 is the identical FLOOR-at-6dp sequential-fold distance
+    the window shape ordered by."""
+    init = F.struct(
+        F.lit(-1).cast("bigint").alias("cid"),
+        F.lit(float("inf")).alias("d"),
+    )
+
+    def step(acc, c):
+        d6 = _f6(_pq_l2(sv, c["cv"]))
+        return F.when(
+            d6 < acc["d"],
+            F.struct(c["cid"].alias("cid"), d6.alias("d")),
+        ).otherwise(acc)
+
+    return F.aggregate(cands, init, step)["cid"]
+
+
+def _pq_nearest_code(
+    subs: DataFrame, cb: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(m, vec_id, *keep, code): each subvector's nearest codeword in
+    ITS subspace by floored squared-L2, ties on cid ASC. One map-side
+    fold per row over the broadcast per-subspace codeword map — the
+    `_assign1` shape: the r11 form (broadcast join to K rows/vector +
+    a (m, vec_id)-keyed row_number exchange) moved an n x M x K frame
+    through a window sort per call; the fold moves nothing (r12, guide
+    §2.4 — the window exchange was removable outright). `keep` lets the
+    trainer ride `sv` through assignment instead of joining it back."""
+    code = _fold_argmin_code(
+        F.element_at(F.col("_cmap"), F.col("m")), F.col("sv")
+    )
+    return subs.crossJoin(F.broadcast(_pq_cand_map(cb))).select(
+        "m", "vec_id", *keep, code.alias("code")
     )
 
 
@@ -982,34 +1030,45 @@ def _pq_lloyd(subs: DataFrame, iters: int = _PQ_ITERS, k: int = _PQ_K) -> DataFr
     DECIMAL(25,15) sums — the same training contract as `kmeans_train`,
     restated for L2 on 16-dim slices so the unrolled-SQL oracle
     hash-matches the trained codebooks themselves, not just the final
-    search. Returns (m, cid, cv)."""
-    spark = subs.sparkSession
+    search. Returns (m, cid, cv).
+
+    r12 shape (the `kmeans_train` optimizations ported to the PQ
+    trainer, guide §2.3/§2.4): assignment is the map-side fold (no
+    window exchange, no join-the-subvectors-back — `sv` rides the
+    assignment row), the per-dim means are ONE wide (m, cid)-keyed
+    aggregate (dsub decimal sums + a count in a single partial-agg
+    shuffle, replacing the dims-anchor explode + two groupBys), and
+    each round's centroid table is localCheckpointed (M x K rows) so
+    the iteration plans stay flat instead of nesting 2x per round.
+    Value-identical: same floored-L2/cid-ASC assignment doubles, same
+    order-independent DECIMAL(25,15) per-dim sums, same
+    sum::double / count division, same empty-cell fallback."""
     cent = subs.filter(F.col("vec_id") < k).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
-    dims = spark.range(1, _PQ_DSUB + 1).select(F.col("id").cast("int").alias("dim"))
+    sum_cols = [
+        F.sum(F.element_at("sv", i).cast("decimal(25,15)")).alias(f"s{i}")
+        for i in range(1, _PQ_DSUB + 1)
+    ]
+    mean_arr = F.array(
+        *[
+            F.col(f"s{i}").cast("double") / F.col("cnt")
+            for i in range(1, _PQ_DSUB + 1)
+        ]
+    ).alias("cv_new")
     for _ in range(iters):
-        asg = _pq_nearest_code(subs, cent).withColumnRenamed("code", "cid")
-        per_dim = (
-            asg.join(subs, ["m", "vec_id"])
-            .join(F.broadcast(dims))
-            .select("m", "cid", "dim", F.element_at("sv", F.col("dim")).alias("val"))
-            .groupBy("m", "cid", "dim")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(25,15)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mean")
-            )
+        asg = _pq_nearest_code(subs, cent, keep=("sv",)).select(
+            "m", F.col("code").alias("cid"), "sv"
         )
-        new_cv = per_dim.groupBy("m", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
-                lambda s: s["mean"],
-            ).alias("cv_new")
+        new_cv = (
+            asg.groupBy("m", "cid")
+            .agg(F.count(F.lit(1)).alias("cnt"), *sum_cols)
+            .select("m", "cid", mean_arr)
         )
-        cent = cent.join(new_cv, ["m", "cid"], "left").select(
-            "m", "cid", F.coalesce("cv_new", "cv").alias("cv")
+        cent = (
+            cent.join(new_cv, ["m", "cid"], "left")
+            .select("m", "cid", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint()
         )
     return cent
 
@@ -2061,9 +2120,15 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("pd").cast("decimal(25,15)")).cast("double").alias("s"))
     )
+    # Materialize the scored frame ONCE: the max/min extremes are two
+    # independent TakeOrdered scans, and without a snapshot each one
+    # re-executes the whole projection pass (centered-explode + partial
+    # agg over n x d rows — the r12 job profile showed the two ~1.1 s
+    # duplicate projection jobs back to back). The checkpoint is an
+    # (n x 16 B) local materialization; both extremes then read it.
     sc = proj.select(
         "vec_id", F.floor(F.col("s") * 1e6).cast("long").alias("pc1_e6")
-    )
+    ).localCheckpoint()
     top = sc.orderBy(F.desc("pc1_e6"), "vec_id").limit(5).select(
         F.lit("max").alias("which"), "vec_id", "pc1_e6"
     )
@@ -2622,12 +2687,20 @@ def semdedup_rounds(
         .withColumn("nrm", V.l2_norm(F.col("v")))
         .withColumn("batch_id", (F.col("vec_id") % k_batches).cast("int"))
     )
-    store: DataFrame | None = None
     rounds: list[DataFrame] = []
     for k in range(k_batches):
         arr = m.filter(F.col("batch_id") == k)
+        # The round-k store is ONE filter over the persisted assignment
+        # cache, not a union of the k prior batch frames: a k-branch
+        # union scans the cache k times per broadcast build (the r12
+        # job profile showed the store-side builds growing 0.5 -> 1.4 s
+        # across rounds, 64/96/128 tasks — guide §2.3, don't rescan what
+        # one predicate can select). batch_id < k selects exactly the
+        # rows the union held, so every round's verdict is
+        # byte-identical; the streaming face is untouched (its store is
+        # the parquet read, which is already one relation).
+        store = m.filter(F.col("batch_id") < k) if k else None
         rounds.append(semdedup_round(arr, store, tau))
-        store = arr if store is None else store.unionByName(arr)
     allv = rounds[0]
     for r in rounds[1:]:
         allv = allv.unionByName(r)
