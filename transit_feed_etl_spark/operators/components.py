@@ -45,9 +45,27 @@ def connected_components(
     e = persist_tracked(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    e.count()  # materialize ONCE — every round reads this cache
+    n_edges = e.count()  # materialize ONCE — every round reads this cache
+    # Scale-ADAPTIVE round width, derived from the measured edge count
+    # (guide §2 — partitioning must not be a constant tuned for either
+    # local mode or the cluster): every per-round frame here is
+    # key-width (two longs), so ~500k rows/partition keeps tasks in the
+    # tens-of-MB range; the cap keeps large graphs at full cluster
+    # parallelism. At bench scale (hundreds of edges) this is 1-2
+    # partitions instead of inheriting the 32-wide static shuffle width
+    # — the rounds were spending their wall time scheduling 32
+    # near-empty tasks per join stage (r12 job profile; the session-wide
+    # AQE cached-plan re-sizing alternative was measured and reverted,
+    # session.py). Label values are width-independent (min/least over
+    # exact keys; the registry's 8/32/128-partition sweeps pin this).
+    par = e.sparkSession.sparkContext.defaultParallelism
+    w = max(1, min(4 * par, -(-n_edges // 500_000)))
+    e = persist_tracked(e.repartition(w, "b"))
     labels = persist_tracked(
-        e.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .repartition(w, "node")
+        .withColumn("label", F.col("node"))
     )
     labels.count()
     for _ in range(max_iter):

@@ -864,33 +864,38 @@ def corpus_dedup_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _CORPUS_DEDUP_K).cast("int").alias("batch_id"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
-    store = spark.createDataFrame([], "digest string")
+    # The round-k digest store, as a MEMBERSHIP set, equals the digests
+    # of ALL documents in batches < k — not just the survivors: a
+    # round's survivors are exactly the first occurrence of each digest
+    # new to the history, so the union of survivors' digests over
+    # rounds < k and the multiset of all batch-(< k) digests have the
+    # same distinct set, and a LEFT ANTI join is insensitive to
+    # right-side multiplicity. The store argument therefore comes from
+    # ONE narrow persisted (doc_id, batch_id, digest) relation filtered
+    # per round (r12), replacing the r11 shape that persisted every
+    # round's survivor frame and anti-joined against a growing
+    # k-branch union of those caches — K cache materializations and
+    # union build-side scans per pass (guide §2.3/§1.2). Each round
+    # still runs the streaming module's own `dedup_round` (the
+    # driver-row-attests-the-foreachBatch-plan construction); the
+    # equality above is what lets the batch twin hand it a cheaper
+    # frame with identical anti-join semantics — and the oracle is the
+    # from-scratch global recompute either way. Digest width is
+    # preserved: the cache carries (doc_id, batch_id, 32-hex digest),
+    # the same 54.8 B/rec contract as before (text never enters it).
+    digests = persist_tracked(
+        base.select(
+            "doc_id", "batch_id", F.md5(F.col("text")).alias("digest")
+        )
+    )
     survivors: list[DataFrame] = []
     for k in range(_CORPUS_DEDUP_K):
         batch = base.filter(F.col("batch_id") == k)
-        # persist each round's survivors: fresh is consumed TWICE (the
-        # output union and the next round's store), so the unpersisted
-        # lazy chain embeds round k-1's plan twice inside round k's —
-        # ~2^K logical-plan growth and recomputation (ADVICE r10).
-        # Materializing per round makes plan depth linear in K, exactly
-        # how incremental_lsh_rounds persists its per-round sigs/e (and
-        # how the real foreachBatch body naturally cuts the lineage at
-        # the store parquet write). PRUNE to the key columns BEFORE the
-        # persist boundary: a cache materializes every column it is
-        # handed, so persisting dedup_round's raw output would drag the
-        # text bodies into the cached subtree's window/anti-join
-        # exchanges (~400 B/rec measured) where the lazy plan let
-        # Catalyst prune them to digest width (the 54.8 B/rec audit
-        # contract this file claims).
-        fresh = persist_tracked(
-            dedup_round(batch, store).select("doc_id", "batch_id", "_digest")
+        store = digests.filter(F.col("batch_id") < k).select("digest")
+        fresh = dedup_round(batch, store).select(
+            "doc_id", "batch_id", F.col("_digest").alias("digest")
         )
-        survivors.append(
-            fresh.select("doc_id", "batch_id", F.col("_digest").alias("digest"))
-        )
-        store = store.unionByName(
-            fresh.select(F.col("_digest").alias("digest"))
-        )
+        survivors.append(fresh)
     out = survivors[0]
     for s in survivors[1:]:
         out = out.unionByName(s)

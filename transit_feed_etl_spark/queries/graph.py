@@ -89,7 +89,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped by dst (operators/graph.py docstring has the cost model)."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    raw = (
+    # persist: the symmetrized edge list feeds the degree aggregate AND
+    # the static (src, dst, deg) relation — without the cache each
+    # reference re-ran the lineitem join + distinct (r12, guide §1.2
+    # step 1)
+    raw = persist_tracked(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("c"),
@@ -97,9 +101,17 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # explode, not unionAll: the two direction branches were separate
+    # plan subtrees, each evaluating `raw` once per reference (the
+    # triangle_count finding) — identical edge multiset either way
+    edges = raw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank(edges, iters=_ITERS, damping=_DAMPING)
     node = F.col("node")
     return pr.select(
@@ -208,19 +220,29 @@ def knn_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _KNN_K
     )
-    und = knn.select(
-        F.least("qid", "nid").alias("a"), F.greatest("qid", "nid").alias("b")
-    ).distinct()
+    # persist the symmetrized edge list: it feeds all three triangle
+    # join aliases plus both degree branches (5 plan references), and
+    # without materialization EACH reference re-executes the quadratic
+    # all-pairs scoring pass above (guide §1.2 step 1 / §5 caching —
+    # reused AND expensive to recompute)
+    und = persist_tracked(
+        knn.select(
+            F.least("qid", "nid").alias("a"), F.greatest("qid", "nid").alias("b")
+        ).distinct()
+    )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
         .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
         .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
     )
+    # explode, not 3-way unionAll: the union branches re-executed the
+    # triangle join once each (the operators/graph.py triangle_count
+    # finding, same fix) — identical node multiset either way
     node_tri = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )

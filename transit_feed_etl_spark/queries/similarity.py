@@ -728,8 +728,42 @@ def kmeans_train(
             for i in range(1, dim + 1)
         ]
     ).alias("cv_new")
+    if iters == 0:
+        return cent
+    # r12 iteration shape: the loop state is the ONE-ROW cid-ASC
+    # candidate array (`_cand_array`'s layout), not the cells-row
+    # centroid table. Each round is then a single eager action
+    # (localCheckpoint of one row) covering: broadcast of the previous
+    # row, the per-row assignment fold, the wide (cid)-keyed partial
+    # aggregate, a map_from_entries reduction, and an in-array
+    # transform that applies the new means with the empty-cell
+    # fallback. The r9-r11 shape paid, per round, a separate
+    # _cand_array broadcast-build job (re-aggregating the centroid
+    # table it had just checkpointed) plus a cells-row fallback JOIN
+    # inside the checkpoint job (guide §2.4 — both removable outright).
+    # Value-identical: same fold argmax (same floored cosine, same
+    # first-strictly-greater = cid-ASC tie), same order-independent
+    # DECIMAL(25,15) sums and sum::double / cnt division, same
+    # keep-previous fallback (try_element_at misses -> coalesce), and
+    # the array stays cid-ASC because transform preserves positions and
+    # no cid is ever added or removed. Eager per-round checkpoint for
+    # the same reason as r9: flat plans, no 2^iters seed-subtree
+    # nesting (components/pagerank/BPE/perceptron pattern).
+    cands = _cand_array(cent)
+    per_cell_means = F.map_from_entries(
+        F.collect_list(F.struct(F.col("cid"), F.col("cv_new")))
+    ).alias("mm")
     for _ in range(iters):
-        asg = _assign1(v, cent).select(F.col("cell").alias("cid"), "v")
+        asg = (
+            v.crossJoin(F.broadcast(cands))
+            .withColumn("nrm", V.l2_norm(F.col("v")))
+            .select(
+                _fold_argmax_cell(
+                    F.col("cands"), F.col("v"), F.col("nrm")
+                ).alias("cid"),
+                "v",
+            )
+        )
         # Per-dim means as ONE wide (cid)-keyed aggregate — dim decimal
         # sums + a count per cell in a single shuffle — instead of the
         # old (cid, dim) explode + collect_list/array_sort re-assembly
@@ -737,31 +771,29 @@ def kmeans_train(
         # dominated the arithmetic). Value-identical: each dim's mean is
         # the same SUM(CAST(val AS DECIMAL(25,15)))::double / count the
         # oracle computes, and array(i=1..dim) preserves dim order.
-        new_cv = (
+        new_map = (
             asg.groupBy("cid")
             .agg(F.count(F.lit(1)).alias("cnt"), *sum_cols)
             .select("cid", mean_arr)
+            .agg(per_cell_means)
         )
-        # empty cells keep their previous centroid (deterministic both
-        # sides). Eager localCheckpoint per round (round-9 REVERSAL of
-        # the r8 "no checkpoint" note): cent_i feeds cent_{i+1} TWICE
-        # (assignment broadcast + empty-cell fallback join), so the
-        # un-truncated LOGICAL plan doubles per iteration — 2^iters
-        # copies of the seed subtree that the ANALYZER walks in full
-        # even when execution hits caches, and that every consumer of
-        # the trained centroids (hierarchy levels, tree broadcast)
-        # multiplies again. The r8 measurement ("checkpoint 12% slower")
-        # predates the fold assigners and the hierarchical consumer;
-        # remeasured in round 9 the flat-plan version is 5.5x faster on
-        # the x16 probe (151s -> 27.6s end-to-end, identical output)
-        # and the checkpoint itself is a cells-row job. The same
-        # per-round pattern as components/pagerank/BPE/perceptron.
-        cent = (
-            cent.join(new_cv, "cid", "left")
-            .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
+
+        def _apply_means(c):
+            new_cv = F.coalesce(F.try_element_at(F.col("mm"), c["cid"]), c["cv"])
+            return F.struct(
+                c["cid"].alias("cid"),
+                new_cv.alias("cv"),
+                V.l2_norm(new_cv).alias("cnrm"),
+            )
+
+        cands = (
+            cands.crossJoin(new_map)
+            .select(F.transform(F.col("cands"), _apply_means).alias("cands"))
             .localCheckpoint()
         )
-    return cent
+    return cands.select(F.explode("cands").alias("c")).select(
+        F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv")
+    )
 
 
 def _ivf_assign(v: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
@@ -829,7 +861,11 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw seeds."""
     emb = table_par(spark, sf_dir, "embeddings")
     v = persist_tracked(emb.select("vec_id", V.as_double("embedding").alias("v")))
-    cent = persist_tracked(kmeans_train(v, iters=_KM_ITERS))
+    # kmeans_train's last Lloyd round already ends in an eager
+    # localCheckpoint (a materialized cells-row leaf) -- wrapping it in
+    # persist_tracked added an InMemoryRelation layer and one more
+    # materialization pass over data that is already at rest (r12)
+    cent = kmeans_train(v, iters=_KM_ITERS)
     return ivf_search_topk(v, cent)
 
 
@@ -2120,15 +2156,16 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("pd").cast("decimal(25,15)")).cast("double").alias("s"))
     )
-    # Materialize the scored frame ONCE: the max/min extremes are two
-    # independent TakeOrdered scans, and without a snapshot each one
-    # re-executes the whole projection pass (centered-explode + partial
-    # agg over n x d rows — the r12 job profile showed the two ~1.1 s
-    # duplicate projection jobs back to back). The checkpoint is an
-    # (n x 16 B) local materialization; both extremes then read it.
+    # NOTE (r12): the max/min extremes below are two independent
+    # TakeOrdered scans that each re-run the projection pass. A
+    # localCheckpoint of this frame was tried and REVERTED: the bench
+    # showed no win (3.00 -> 3.25 s at sf0.1 — the scatter pass
+    # dominates and the snapshot write ate the saved scan) and the
+    # truncated plan hid the scatter partial-agg contract from
+    # tests/test_plans.py. Measured, not assumed (guide §1).
     sc = proj.select(
         "vec_id", F.floor(F.col("s") * 1e6).cast("long").alias("pc1_e6")
-    ).localCheckpoint()
+    )
     top = sc.orderBy(F.desc("pc1_e6"), "vec_id").limit(5).select(
         F.lit("max").alias("which"), "vec_id", "pc1_e6"
     )
@@ -2209,7 +2246,8 @@ def semdedup_pairs(
     unrolled oracle stays tractable; tools/scale_probe.py calls this
     directly with cells grown proportionally to the corpus (the
     production sizing rule, SCALE.md)."""
-    cent = persist_tracked(kmeans_train(v, iters=iters, n_cells=n_cells))
+    # no persist: kmeans_train output is already a checkpointed leaf (r12)
+    cent = kmeans_train(v, iters=iters, n_cells=n_cells)
     return _semdedup_prune_from_cells(v, _assign1(v, cent), tau)
 
 
@@ -2417,14 +2455,13 @@ def semdedup_pairs_sampled(
     log_branch cells) instead of the r8 two-level shape's
     O(n_super + cells/n_super) = O(√cells)."""
     samp = v.filter(F.col("vec_id") % sample_mod == 0)
-    cent = persist_tracked(
-        kmeans_train(
-            samp,
-            iters=iters,
-            n_cells=n_cells,
-            seed_below=n_cells * sample_mod,
-            seeds=seeds,
-        )
+    # no persist: kmeans_train output is already a checkpointed leaf (r12)
+    cent = kmeans_train(
+        samp,
+        iters=iters,
+        n_cells=n_cells,
+        seed_below=n_cells * sample_mod,
+        seeds=seeds,
     )
     cells = hier_assign(v, cent, n_cells=n_cells, branch=branch)
     return _semdedup_prune_from_cells(v, cells, tau)
@@ -2479,9 +2516,8 @@ def hier_assign(
             F.col("cid").alias("vec_id"), F.col("cv").alias("v")
         )
         seeds = levels[-1].orderBy("cid").limit(m)
-        levels.append(
-            persist_tracked(kmeans_train(pts, iters=1, n_cells=m, seeds=seeds))
-        )
+        # no persist: kmeans_train output is already a checkpointed leaf
+        levels.append(kmeans_train(pts, iters=1, n_cells=m, seeds=seeds))
         sizes.append(m)
     depth = len(levels) - 1
     top = _cand_array(levels[-1]).select(F.col("cands").alias("top"))
@@ -2496,8 +2532,12 @@ def hier_assign(
             pts = levels[k].select(
                 F.col("cid").alias("vec_id"), F.col("cv").alias("v")
             )
-            link = _ivf_assign(pts, levels[k + 1], nprobe=1).select(
-                F.col("vec_id").alias("child"), F.col("cid").alias("parent")
+            # fold argmax, not the window _ivf_assign: value-identical at
+            # nprobe=1 (same floored cosine, same cid-ASC tie — the
+            # _assign1 docstring contract) and the centroid-table link
+            # build stops paying a row_number exchange per level (r12)
+            link = _assign1(pts, levels[k + 1]).select(
+                F.col("vec_id").alias("child"), F.col("cell").alias("parent")
             )
             ents.append(
                 link.join(levels[k], link["child"] == levels[k]["cid"])
@@ -2673,14 +2713,13 @@ def semdedup_rounds(
     from transit_feed_etl_spark.streaming.semdedup import semdedup_round
 
     samp = v.filter(F.col("vec_id") % k_batches == 0)
-    cent = persist_tracked(
-        kmeans_train(
-            samp,
-            iters=iters,
-            n_cells=n_cells,
-            seed_below=n_cells * k_batches,
-            seeds=seeds,
-        )
+    # no persist: kmeans_train output is already a checkpointed leaf (r12)
+    cent = kmeans_train(
+        samp,
+        iters=iters,
+        n_cells=n_cells,
+        seed_below=n_cells * k_batches,
+        seeds=seeds,
     )
     m = persist_tracked(
         hier_assign(v, cent, n_cells=n_cells, branch=branch)

@@ -37,6 +37,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # canChangeCachedPlanOutputPartitioning stays at its DEFAULT
+        # (false). Tried in r12 (it would let AQE shrink the 32-partition
+        # tiny caches the iterative operators re-read every round;
+        # isolated CC measured 3.2 s -> 1.8 s at sf0.1) and REVERTED on
+        # the full-bench A/B: AQE sizes cached output by OBSERVED BYTES
+        # and is blind to downstream fan-out, so every cache that is
+        # byte-tiny but expensive to expand collapsed to 1 partition and
+        # serialized its consumer (pca scatter explode +2.9 s,
+        # dedup_clusters pair scan +2.6 s, pagerank iterations +1.0 s,
+        # bpe +0.9 s — bench run 3 vs baseline, OPTIMIZATION_r12.md).
+        # The same hazard class as the prefixfilter.py candidate
+        # repartition comment. Iterative-operator partition sizing is
+        # handled surgically instead (operators/components.py derives
+        # its round width from the measured edge count).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # InferFiltersFromGenerate turns explode(expr) into
