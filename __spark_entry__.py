@@ -245,26 +245,18 @@ PRIORITY: tuple[str, ...] = (
 # dict's third-element check encodes). Their REGISTERED_IN_ROUND
 # entries (tools/staleness_table.py) label them pending-first-row in
 # the staleness table; THESE entries front them in the ordering.
+# Round 13: the r12 optimization round rewrote the plans of six queries
+# the rotating 50-query oracle window did not sample (VERDICT r12 item
+# 2) — queue them so the r13 window attests the post-rewrite plans with
+# fresh FULL-oracle driver rows.  All nineteen r12 entries were
+# satisfied by green CORRECTNESS_r12 rows and pruned at round-13 start.
 FORCE_RECHECK: dict[str, int] = {
-    "simhash_fingerprints": 12,
-    "simhash_neardup_pairs": 12,
-    "cosine_topk_bruteforce": 12,
-    "embedding_neardup_pairs": 12,
-    "ann_lsh_topk": 12,
-    "ivf_ann_topk": 12,
-    "ivf_kmeans_topk": 12,
-    "quantized_cosine_topk": 12,
-    "pq_adc_rerank_topk": 12,
-    "retrieval_join_docs": 12,
-    "truncated_cosine_topk": 12,
-    "cascade_retrieval_topk": 12,
-    "rrf_fusion_topk": 12,
-    "embedding_dedup_clusters": 12,
-    "mmr_diversified_topk": 12,
-    "semdedup_prune": 12,
-    "semdedup_prune_sampled": 12,
-    "incremental_semdedup_rounds": 12,
-    "knn_graph_clustering": 12,
+    "corpus_dedup_rounds": 13,
+    "incremental_lsh_rounds": 13,
+    "pagerank_copurchase": 13,
+    "coorder_part_triangles": 13,
+    "softdedup_weights": 13,
+    "dedup_keep_best": 13,
 }
 
 
