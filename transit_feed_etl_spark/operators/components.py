@@ -42,10 +42,10 @@ def connected_components(
     component diameter)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # symmetrize: propagation must flow both directions
-    e = persist_tracked(
+    e0 = persist_tracked(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    n_edges = e.count()  # materialize ONCE — every round reads this cache
+    n_edges = e0.count()  # materialize ONCE to size the round width
     # Scale-ADAPTIVE round width, derived from the measured edge count
     # (guide §2 — partitioning must not be a constant tuned for either
     # local mode or the cluster): every per-round frame here is
@@ -58,9 +58,9 @@ def connected_components(
     # AQE cached-plan re-sizing alternative was measured and reverted,
     # session.py). Label values are width-independent (min/least over
     # exact keys; the registry's 8/32/128-partition sweeps pin this).
-    par = e.sparkSession.sparkContext.defaultParallelism
+    par = e0.sparkSession.sparkContext.defaultParallelism
     w = max(1, min(4 * par, -(-n_edges // 500_000)))
-    e = persist_tracked(e.repartition(w, "b"))
+    e = persist_tracked(e0.repartition(w, "b"))
     labels = persist_tracked(
         e.select(F.col("a").alias("node"))
         .distinct()
@@ -68,6 +68,13 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     labels.count()
+    # labels.count() scanned e (materializing the repartitioned cache),
+    # which scanned e0 — its only reader. Drop e0 NOW instead of holding
+    # both copies of the symmetrized edge list resident for the query's
+    # lifetime: at the 100 TB design point the leak doubled the largest
+    # cached relation in the operator (ADVICE r12). release_caches()
+    # tolerates the early unpersist (double-unpersist is a no-op).
+    e0.unpersist()
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels, e["b"] == labels["node"])

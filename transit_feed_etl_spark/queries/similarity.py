@@ -636,7 +636,17 @@ def _fold_argmax_cell(cands, v, nrm):
     oracle's ROW_NUMBER() OVER (ORDER BY cos6 DESC, cid ASC) = 1 as a
     map-side expression — no explode, no window shuffle, no
     join-the-vectors-back. -2.0 sits below every real floored cosine
-    (>= -1.0), so the first candidate always beats the init."""
+    (>= -1.0), so the first candidate always beats the init.
+
+    Input contract (ADVICE r12): scores must be non-NaN — i.e. vectors
+    and candidates carry finite components and nonzero norms, the
+    module-docstring embedding precondition that
+    tests/test_vector_edge_parity.py pins (zero-norm inputs fail fast
+    under ANSI division long before this fold). A NaN cosine never
+    compares greater than the init, so a degenerate row would keep
+    cid = -1 where the window shape it replaces (Spark sorts NaN
+    greatest) would have picked a real candidate; inside the contract
+    the two shapes are value-identical."""
     init = F.struct(
         F.lit(-1).cast("bigint").alias("cid"), F.lit(-2.0).alias("cos")
     )
@@ -651,6 +661,26 @@ def _fold_argmax_cell(cands, v, nrm):
     return F.aggregate(cands, init, step)["cid"]
 
 
+def _assign1_cands(v: DataFrame, cands: DataFrame) -> DataFrame:
+    """`_assign1` over an already-assembled one-row candidate array
+    (`_cand_array` layout). Callers that hold the trained quantizer in
+    that layout — `_kmeans_train_cands` output is exactly it — skip the
+    explode -> re-aggregate -> re-broadcast roundtrip `_assign1` would
+    pay to rebuild the array from the (cid, cv) table (r13, guide
+    §1.2-1: don't recompute what the producer already materialized)."""
+    return (
+        v.crossJoin(F.broadcast(cands))
+        .withColumn("nrm", V.l2_norm(F.col("v")))
+        .select(
+            "vec_id",
+            "v",
+            _fold_argmax_cell(
+                F.col("cands"), F.col("v"), F.col("nrm")
+            ).alias("cell"),
+        )
+    )
+
+
 def _assign1(v: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, v, cell): nearest centroid by (floored cosine DESC, cid
     ASC) as ONE map-side fold per row over the broadcast centroid
@@ -661,17 +691,7 @@ def _assign1(v: DataFrame, cent: DataFrame) -> DataFrame:
     vector-width corpus exchange once the corpus outgrows the broadcast
     threshold (VERDICT r8 item 4). Consumers that need the vector after
     assignment read it off this frame instead of re-joining."""
-    return (
-        v.crossJoin(F.broadcast(_cand_array(cent)))
-        .withColumn("nrm", V.l2_norm(F.col("v")))
-        .select(
-            "vec_id",
-            "v",
-            _fold_argmax_cell(
-                F.col("cands"), F.col("v"), F.col("nrm")
-            ).alias("cell"),
-        )
-    )
+    return _assign1_cands(v, _cand_array(cent))
 
 
 def kmeans_train(
@@ -690,6 +710,14 @@ def kmeans_train(
     `iters` iterations, returns (cid, cv). iters=0 returns the raw
     seeds (the untrained quantizer).
 
+    Leaf contract (ADVICE r12): the iters >= 1 output is a narrow
+    projection over an eagerly-materialized localCheckpoint — callers
+    may fan out over it without a persist (re-references re-scan the
+    checkpointed row, never re-run training). The iters = 0 output is
+    the LAZY seed frame with no checkpoint; a caller that fans out over
+    an untrained quantizer must materialize it itself (production call
+    sites all pass iters >= 1; only tests use iters = 0).
+
     Scale design: each iteration is (a) a per-row fold over the
     broadcast centroid array (`_assign1`) — the corpus NEVER shuffles:
     not the vectors (the old shape re-joined them on vec_id, which
@@ -704,6 +732,43 @@ def kmeans_train(
     run is bit-identical to the unrolled-SQL oracle in _kmeans_oracle —
     the training itself is differential-tested, which a literals-folded
     oracle could not do."""
+    if iters == 0:
+        return (
+            seeds
+            if seeds is not None
+            else v.filter(
+                F.col("vec_id") < (n_cells if seed_below is None else seed_below)
+            ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
+    return _explode_cands(
+        _kmeans_train_cands(v, iters, n_cells, dim, seed_below, seeds)
+    )
+
+
+def _explode_cands(cands: DataFrame) -> DataFrame:
+    """(cid, cv) table view of a one-row `_cand_array`-layout frame."""
+    return cands.select(F.explode("cands").alias("c")).select(
+        F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv")
+    )
+
+
+def _kmeans_train_cands(
+    v: DataFrame,
+    iters: int,
+    n_cells: int = _KM_CELLS,
+    dim: int = EMB_DIM,
+    seed_below: int | None = None,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """`kmeans_train`'s loop core, returning the trained quantizer in
+    its NATIVE layout — the one-row cid-ASC candidate array the r12
+    Lloyd rewrite keeps as loop state (each element (cid, cv, cnrm),
+    localCheckpointed each round). Consumers that broadcast the
+    quantizer for fold assignment (`_assign1_cands`, the `hier_assign`
+    routing tree/top) take this frame directly; going through
+    `kmeans_train`'s exploded (cid, cv) view costs an explode scan plus
+    a `_cand_array` re-aggregation and re-broadcast per consumer for a
+    value-identical array (r13, guide §1.2-1). Requires iters >= 1."""
     cent = (
         seeds
         if seeds is not None
@@ -728,8 +793,6 @@ def kmeans_train(
             for i in range(1, dim + 1)
         ]
     ).alias("cv_new")
-    if iters == 0:
-        return cent
     # r12 iteration shape: the loop state is the ONE-ROW cid-ASC
     # candidate array (`_cand_array`'s layout), not the cells-row
     # centroid table. Each round is then a single eager action
@@ -791,9 +854,7 @@ def kmeans_train(
             .select(F.transform(F.col("cands"), _apply_means).alias("cands"))
             .localCheckpoint()
         )
-    return cands.select(F.explode("cands").alias("c")).select(
-        F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv")
-    )
+    return cands
 
 
 def _ivf_assign(v: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
@@ -1039,6 +1100,21 @@ def _fold_argmin_code(cands, sv):
     return F.aggregate(cands, init, step)["cid"]
 
 
+def _pq_nearest_code_map(
+    subs: DataFrame, cmap: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """`_pq_nearest_code` over an already-assembled one-row codeword
+    map (`_pq_cand_map` layout) — the broadcast side comes straight
+    from the trainer's checkpointed loop state instead of a per-call
+    re-aggregation of the exploded codebook (r13, guide §1.2-1)."""
+    code = _fold_argmin_code(
+        F.element_at(F.col("_cmap"), F.col("m")), F.col("sv")
+    )
+    return subs.crossJoin(F.broadcast(cmap)).select(
+        "m", "vec_id", *keep, code.alias("code")
+    )
+
+
 def _pq_nearest_code(
     subs: DataFrame, cb: DataFrame, keep: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -1050,12 +1126,7 @@ def _pq_nearest_code(
     through a window sort per call; the fold moves nothing (r12, guide
     §2.4 — the window exchange was removable outright). `keep` lets the
     trainer ride `sv` through assignment instead of joining it back."""
-    code = _fold_argmin_code(
-        F.element_at(F.col("_cmap"), F.col("m")), F.col("sv")
-    )
-    return subs.crossJoin(F.broadcast(_pq_cand_map(cb))).select(
-        "m", "vec_id", *keep, code.alias("code")
-    )
+    return _pq_nearest_code_map(subs, _pq_cand_map(cb), keep)
 
 
 def _pq_lloyd(subs: DataFrame, iters: int = _PQ_ITERS, k: int = _PQ_K) -> DataFrame:
@@ -1074,11 +1145,39 @@ def _pq_lloyd(subs: DataFrame, iters: int = _PQ_ITERS, k: int = _PQ_K) -> DataFr
     assignment row), the per-dim means are ONE wide (m, cid)-keyed
     aggregate (dsub decimal sums + a count in a single partial-agg
     shuffle, replacing the dims-anchor explode + two groupBys), and
-    each round's centroid table is localCheckpointed (M x K rows) so
-    the iteration plans stay flat instead of nesting 2x per round.
-    Value-identical: same floored-L2/cid-ASC assignment doubles, same
-    order-independent DECIMAL(25,15) per-dim sums, same
-    sum::double / count division, same empty-cell fallback."""
+    each round localCheckpoints the loop state so the iteration plans
+    stay flat instead of nesting 2x per round."""
+    return _explode_cmap(_pq_lloyd_cmap(subs, iters, k))
+
+
+def _explode_cmap(cmap: DataFrame) -> DataFrame:
+    """(m, cid, cv) table view of a one-row `_pq_cand_map`-layout frame."""
+    return (
+        cmap.select(F.explode("_cmap").alias("m", "cands"))
+        .select("m", F.explode("cands").alias("c"))
+        .select("m", F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv"))
+    )
+
+
+def _pq_lloyd_cmap(
+    subs: DataFrame, iters: int = _PQ_ITERS, k: int = _PQ_K
+) -> DataFrame:
+    """`_pq_lloyd`'s loop core with the codeword MAP as the loop state
+    (r13 — the `_kmeans_train_cands` construction restated per
+    subspace): each round is one eager action covering the broadcast of
+    the previous one-row map, the per-row assignment fold, the wide
+    (m, cid)-keyed partial aggregate, a map_from_entries reduction
+    keyed on (m, cid) structs, and an in-map transform applying the new
+    means with the empty-cell fallback. The r12 shape re-aggregated the
+    exploded M x K codebook table into the broadcast map once per round
+    (`_pq_cand_map` inside `_pq_nearest_code`) and joined the new means
+    back into the table — both removable outright (guide §2.4).
+    Value-identical: same floored-L2/cid-ASC assignment fold, same
+    order-independent DECIMAL(25,15) per-dim sums and
+    sum::double / count division; the try_element_at miss -> coalesce
+    fallback reproduces the old LEFT JOIN + COALESCE per (m, cid); each
+    subspace's array stays cid-ASC because transform preserves
+    positions and no codeword is ever added or removed."""
     cent = subs.filter(F.col("vec_id") < k).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
@@ -1092,21 +1191,47 @@ def _pq_lloyd(subs: DataFrame, iters: int = _PQ_ITERS, k: int = _PQ_K) -> DataFr
             for i in range(1, _PQ_DSUB + 1)
         ]
     ).alias("cv_new")
+    per_code_means = F.map_from_entries(
+        F.collect_list(
+            F.struct(
+                F.struct(F.col("m"), F.col("cid")).alias("key"),
+                F.col("cv_new").alias("val"),
+            )
+        )
+    ).alias("mm")
+    cmap = _pq_cand_map(cent)
     for _ in range(iters):
-        asg = _pq_nearest_code(subs, cent, keep=("sv",)).select(
+        asg = _pq_nearest_code_map(subs, cmap, keep=("sv",)).select(
             "m", F.col("code").alias("cid"), "sv"
         )
-        new_cv = (
+        mm = (
             asg.groupBy("m", "cid")
             .agg(F.count(F.lit(1)).alias("cnt"), *sum_cols)
             .select("m", "cid", mean_arr)
+            .agg(per_code_means)
         )
-        cent = (
-            cent.join(new_cv, ["m", "cid"], "left")
-            .select("m", "cid", F.coalesce("cv_new", "cv").alias("cv"))
+
+        def _apply_means(mkey, arr):
+            def _one(c):
+                new_cv = F.coalesce(
+                    F.try_element_at(
+                        F.col("mm"),
+                        F.struct(mkey.alias("m"), c["cid"].alias("cid")),
+                    ),
+                    c["cv"],
+                )
+                return F.struct(c["cid"].alias("cid"), new_cv.alias("cv"))
+
+            return F.transform(arr, _one)
+
+        cmap = (
+            cmap.crossJoin(mm)
+            .select(
+                F.transform_values(F.col("_cmap"), _apply_means).alias("_cmap")
+            )
             .localCheckpoint()
         )
-    return cent
+    return cmap
 
 
 def _pq_oracle() -> str:
@@ -1257,8 +1382,14 @@ def pq_adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     subs = persist_tracked(_pq_subvectors(v))
-    cb = persist_tracked(_pq_lloyd(subs))
-    codes = _pq_nearest_code(subs, cb)
+    # the trained codebook's native layout IS the encoding broadcast:
+    # encoding folds over the checkpointed loop state directly, and the
+    # LUT build reads the exploded view of the same one-row leaf — the
+    # r12 shape persisted the exploded table and re-aggregated it into
+    # the broadcast map for encoding (r13, guide §1.2-1)
+    cmap = _pq_lloyd_cmap(subs)
+    cb = _explode_cmap(cmap)
+    codes = _pq_nearest_code_map(subs, cmap)
     luts = (
         subs.filter(F.col("vec_id") < 10)
         .join(F.broadcast(cb), "m")
@@ -2156,23 +2287,73 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("pd").cast("decimal(25,15)")).cast("double").alias("s"))
     )
-    # NOTE (r12): the max/min extremes below are two independent
-    # TakeOrdered scans that each re-run the projection pass. A
-    # localCheckpoint of this frame was tried and REVERTED: the bench
-    # showed no win (3.00 -> 3.25 s at sf0.1 — the scatter pass
-    # dominates and the snapshot write ate the saved scan) and the
-    # truncated plan hid the scatter partial-agg contract from
-    # tests/test_plans.py. Measured, not assumed (guide §1).
+    # Single-pass two-sided extreme selection (r13, guide §1.2-1 —
+    # VERDICT r12 item 5): the r12 shape ran the max and min frontiers
+    # as two independent TakeOrdered scans that each re-ran the
+    # projection pass (measured: two ~1.1-1.2 s 32-task jobs, zero
+    # exchange reuse between the branches even at runtime), and the r12
+    # localCheckpoint attempt was measured a wash (3.00 -> 3.25 s) and
+    # reverted. This shape evaluates the projection ONCE: a
+    # per-partition pre-selection keeps each partition's 5 best rows
+    # under BOTH total orders (two row_number windows sharing one
+    # narrow (vec_id, pc1_e6, pid) exchange — any global-top-5 row is
+    # by definition in its partition's top 5 under the same total
+    # order), then ONE global aggregation assembles both 5-row
+    # frontiers from the <= 10-rows-per-partition survivors. The final
+    # union branches fan out over that one-row aggregate, not over the
+    # projection subtree. Value-identical: both frontiers select by the
+    # exact total orders the oracle's two LIMIT 5 scans use —
+    # (pc1_e6 DESC, vec_id ASC) via the negated-key ascending sort
+    # (|pc1_e6| = |floor(s * 1e6)| is far below LONG_MAX, so negation
+    # is exact) and (pc1_e6 ASC, vec_id ASC) directly.
     sc = proj.select(
         "vec_id", F.floor(F.col("s") * 1e6).cast("long").alias("pc1_e6")
     )
-    top = sc.orderBy(F.desc("pc1_e6"), "vec_id").limit(5).select(
-        F.lit("max").alias("which"), "vec_id", "pc1_e6"
+    pid_sc = sc.withColumn("pid", F.spark_partition_id())
+    w_top = W.partitionBy("pid").orderBy(F.desc("pc1_e6"), F.asc("vec_id"))
+    w_bot = W.partitionBy("pid").orderBy(F.asc("pc1_e6"), F.asc("vec_id"))
+    cand = (
+        pid_sc.withColumn("rt", F.row_number().over(w_top))
+        .withColumn("rb", F.row_number().over(w_bot))
+        .filter((F.col("rt") <= 5) | (F.col("rb") <= 5))
     )
-    bot = sc.orderBy(F.asc("pc1_e6"), "vec_id").limit(5).select(
-        F.lit("min").alias("which"), "vec_id", "pc1_e6"
+    both = cand.agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("pc1_e6", "vec_id"))), 1, 5
+        ).alias("bot"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("pc1_e6")).alias("neg"), F.col("vec_id"))
+                )
+            ),
+            1,
+            5,
+        ).alias("top"),
     )
-    return top.unionByName(bot).orderBy(F.desc("which"), "pc1_e6", "vec_id")
+    rows = F.concat(
+        F.transform(
+            F.col("top"),
+            lambda s: F.struct(
+                F.lit("max").alias("which"),
+                s["vec_id"].alias("vec_id"),
+                (-s["neg"]).alias("pc1_e6"),
+            ),
+        ),
+        F.transform(
+            F.col("bot"),
+            lambda s: F.struct(
+                F.lit("min").alias("which"),
+                s["vec_id"].alias("vec_id"),
+                s["pc1_e6"].alias("pc1_e6"),
+            ),
+        ),
+    )
+    return (
+        both.select(F.explode(rows).alias("r"))
+        .select("r.which", "r.vec_id", "r.pc1_e6")
+        .orderBy(F.desc("which"), "pc1_e6", "vec_id")
+    )
 
 
 _SEMDEDUP_TAU = 0.25
@@ -2246,9 +2427,15 @@ def semdedup_pairs(
     unrolled oracle stays tractable; tools/scale_probe.py calls this
     directly with cells grown proportionally to the corpus (the
     production sizing rule, SCALE.md)."""
-    # no persist: kmeans_train output is already a checkpointed leaf (r12)
-    cent = kmeans_train(v, iters=iters, n_cells=n_cells)
-    return _semdedup_prune_from_cells(v, _assign1(v, cent), tau)
+    # no persist: the trained quantizer is already a checkpointed leaf
+    # (r12); assignment folds over its NATIVE one-row array, skipping
+    # the explode -> _cand_array re-agg -> re-broadcast roundtrip the
+    # (cid, cv) view would pay (r13, guide §1.2-1)
+    if iters:
+        cells = _assign1_cands(v, _kmeans_train_cands(v, iters, n_cells=n_cells))
+    else:
+        cells = _assign1(v, kmeans_train(v, iters=0, n_cells=n_cells))
+    return _semdedup_prune_from_cells(v, cells, tau)
 
 
 def _semdedup_prune_from_cells(
@@ -2455,20 +2642,43 @@ def semdedup_pairs_sampled(
     log_branch cells) instead of the r8 two-level shape's
     O(n_super + cells/n_super) = O(√cells)."""
     samp = v.filter(F.col("vec_id") % sample_mod == 0)
-    # no persist: kmeans_train output is already a checkpointed leaf (r12)
-    cent = kmeans_train(
-        samp,
-        iters=iters,
-        n_cells=n_cells,
-        seed_below=n_cells * sample_mod,
-        seeds=seeds,
+    # no persist: the trained quantizer is already a checkpointed leaf
+    # (r12); its native one-row array rides along so the hierarchy build
+    # never re-aggregates it (r13)
+    cands = (
+        _kmeans_train_cands(
+            samp,
+            iters,
+            n_cells=n_cells,
+            seed_below=n_cells * sample_mod,
+            seeds=seeds,
+        )
+        if iters
+        else None
     )
-    cells = hier_assign(v, cent, n_cells=n_cells, branch=branch)
+    cent = (
+        _explode_cands(cands)
+        if cands is not None
+        else kmeans_train(
+            samp,
+            iters=0,
+            n_cells=n_cells,
+            seed_below=n_cells * sample_mod,
+            seeds=seeds,
+        )
+    )
+    cells = hier_assign(
+        v, cent, n_cells=n_cells, branch=branch, cent_cands=cands
+    )
     return _semdedup_prune_from_cells(v, cells, tau)
 
 
 def hier_assign(
-    v: DataFrame, cent: DataFrame, n_cells: int, branch: int = _SD_BRANCH
+    v: DataFrame,
+    cent: DataFrame,
+    n_cells: int,
+    branch: int = _SD_BRANCH,
+    cent_cands: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cell, v) via a hierarchical coarse quantizer: build
     levels above the centroid table bottom-up (each level = 1 Lloyd
@@ -2507,8 +2717,18 @@ def hier_assign(
     the map lookup misses, the fold over the NULL array yields a NULL
     node, and the NULL cascades to a filtered-out NULL cell: identical
     to the unrolled oracle's inner join through c2s (parity-preserved,
-    not a defect)."""
+    not a defect).
+
+    `cent_cands` (r13): the bottom level's quantizer in its native
+    one-row `_cand_array` layout, when the caller trained it via
+    `_kmeans_train_cands` — reused for the top array on a depth-0
+    hierarchy instead of re-aggregating `cent`. Each BUILT level keeps
+    its own native row the same way, so the per-level link assignment
+    and the top array broadcast the training loop's checkpointed state
+    directly (one `_cand_array` aggregate + broadcast build saved per
+    level — guide §1.2-1)."""
     levels = [cent]
+    rows: list[DataFrame | None] = [cent_cands]
     sizes = [n_cells]
     while sizes[-1] > branch:
         m = -(-sizes[-1] // branch)
@@ -2516,11 +2736,17 @@ def hier_assign(
             F.col("cid").alias("vec_id"), F.col("cv").alias("v")
         )
         seeds = levels[-1].orderBy("cid").limit(m)
-        # no persist: kmeans_train output is already a checkpointed leaf
-        levels.append(kmeans_train(pts, iters=1, n_cells=m, seeds=seeds))
+        # no persist: the training output is already a checkpointed leaf
+        cr = _kmeans_train_cands(pts, iters=1, n_cells=m, seeds=seeds)
+        levels.append(_explode_cands(cr))
+        rows.append(cr)
         sizes.append(m)
     depth = len(levels) - 1
-    top = _cand_array(levels[-1]).select(F.col("cands").alias("top"))
+    top = (
+        rows[-1]
+        if rows[-1] is not None
+        else _cand_array(levels[-1])
+    ).select(F.col("cands").alias("top"))
     if depth == 0:
         onerow = top
     else:
@@ -2535,8 +2761,11 @@ def hier_assign(
             # fold argmax, not the window _ivf_assign: value-identical at
             # nprobe=1 (same floored cosine, same cid-ASC tie — the
             # _assign1 docstring contract) and the centroid-table link
-            # build stops paying a row_number exchange per level (r12)
-            link = _assign1(pts, levels[k + 1]).select(
+            # build stops paying a row_number exchange per level (r12);
+            # the fold runs over the parent level's NATIVE checkpointed
+            # array (rows[k+1] always exists for built levels), not a
+            # re-aggregation of its exploded view (r13)
+            link = _assign1_cands(pts, rows[k + 1]).select(
                 F.col("vec_id").alias("child"), F.col("cell").alias("parent")
             )
             ents.append(
@@ -2710,19 +2939,39 @@ def semdedup_rounds(
     `dedup_round` construction. Per-round verdicts union to the global
     recompute because a vector's verdict is final the round it arrives
     (its pairs are all in-batch or vs strictly-earlier arrivals)."""
-    from transit_feed_etl_spark.streaming.semdedup import semdedup_round
+    from transit_feed_etl_spark.streaming.semdedup import (
+        semdedup_pair_scan,
+        semdedup_verdicts,
+    )
 
     samp = v.filter(F.col("vec_id") % k_batches == 0)
-    # no persist: kmeans_train output is already a checkpointed leaf (r12)
-    cent = kmeans_train(
-        samp,
-        iters=iters,
-        n_cells=n_cells,
-        seed_below=n_cells * k_batches,
-        seeds=seeds,
+    # no persist: the trained quantizer is already a checkpointed leaf
+    # (r12); its native one-row array rides along so the hierarchy build
+    # never re-aggregates it (r13)
+    cands = (
+        _kmeans_train_cands(
+            samp,
+            iters,
+            n_cells=n_cells,
+            seed_below=n_cells * k_batches,
+            seeds=seeds,
+        )
+        if iters
+        else None
+    )
+    cent = (
+        _explode_cands(cands)
+        if cands is not None
+        else kmeans_train(
+            samp,
+            iters=0,
+            n_cells=n_cells,
+            seed_below=n_cells * k_batches,
+            seeds=seeds,
+        )
     )
     m = persist_tracked(
-        hier_assign(v, cent, n_cells=n_cells, branch=branch)
+        hier_assign(v, cent, n_cells=n_cells, branch=branch, cent_cands=cands)
         .withColumn("nrm", V.l2_norm(F.col("v")))
         .withColumn("batch_id", (F.col("vec_id") % k_batches).cast("int"))
     )
@@ -2739,12 +2988,25 @@ def semdedup_rounds(
         # byte-identical; the streaming face is untouched (its store is
         # the parquet read, which is already one relation).
         store = m.filter(F.col("batch_id") < k) if k else None
-        rounds.append(semdedup_round(arr, store, tau))
-    allv = rounds[0]
+        rounds.append(semdedup_pair_scan(arr, store, tau))
+    allp = rounds[0]
     for r in rounds[1:]:
-        allv = allv.unionByName(r)
+        allp = allp.unionByName(r)
+    # ONE verdict aggregation over the union of the K per-round pair
+    # scans, instead of K per-round groupBys + a verdict union (r13,
+    # guide §2.3 — the r12 shape ran 4 groupBy exchanges where one
+    # suffices). Value-identical to union-of-round-verdicts: round k's
+    # pair scan only emits idb from batch k, so the K pair sets are
+    # key-disjoint in idb and the groupBy distributes over their union
+    # (the semdedup_verdicts docstring lemma). The streaming face
+    # (`semdedup_round` = verdicts ∘ pair_scan, per batch) keeps the
+    # per-round aggregation its foreachBatch body needs, built from the
+    # SAME two functions this twin composes — the driver CORRECTNESS
+    # row still attests the streaming round's pair scan and verdict
+    # expressions.
+    verdicts = semdedup_verdicts(allp)
     return (
-        allv.withColumn(
+        verdicts.withColumn(
             "batch_id", (F.col("vec_id") % k_batches).cast("int")
         )
         .select("vec_id", "batch_id", "cell", "keeper_id", "max_cos6")

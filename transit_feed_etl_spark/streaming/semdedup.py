@@ -54,20 +54,24 @@ from pyspark.sql.utils import AnalysisException
 from transit_feed_etl_spark.queries.similarity import _SEMDEDUP_TAU as _TAU
 
 
-def semdedup_round(
+def semdedup_pair_scan(
     batch: DataFrame, store: DataFrame | None, tau: float = _TAU
 ) -> DataFrame:
-    """Pure-plan core of one semantic-dedup round, shared by the
-    streaming foreachBatch body below and the registered batch twin
-    (queries/similarity.py:semdedup_rounds — the driver-oracled face of
-    this operator). `batch` and `store` carry (vec_id, cell, v, nrm);
-    the store holds strictly-earlier arrivals. Scans in-batch pairs
-    (cell equijoin + id< — arrival order inside one batch is id order)
-    and new-vs-history pairs (cell equijoin only: everything in the
-    store precedes the whole batch), and returns per-arrival prune
-    verdicts (vec_id, cell, keeper_id, max_cos6). A vector's verdict is
-    final the round it arrives, so per-round verdicts union to the
-    global recompute — the merge law the batch twin's oracle proves.
+    """One round's similar-pair scan: (cell_b, ida, idb, cos6) for every
+    in-cell pair whose earlier side precedes `idb`'s arrival, filtered
+    at cos6 >= tau. `batch` and `store` carry (vec_id, cell, v, nrm);
+    the store holds strictly-earlier arrivals.
+
+    ONE cell-equijoin per round (r13, guide §2.4/§3.1): the a-side is
+    the union of the store (tagged pre_a = true — everything in it
+    precedes the whole batch) and the batch itself (pre_a = false — in
+    one batch, arrival order is id order), and the precedence residual
+    `pre_a OR ida < idb` rides the equijoin. The r12 shape ran TWO
+    joins per round (in-batch with the id< residual, store with none)
+    and unioned their outputs — two broadcast builds and two join
+    stages per round for the identical pair set: for a ∈ batch the
+    residual reduces to ida < idb, for a ∈ store to true, so the single
+    join's pair multiset is exactly the old union, row for row.
     cos6 is FLOOR-truncated at 6dp (r12 repin, the portable IEEE form —
     see queries/similarity.py's module docstring), matching the batch
     face's `_semdedup_prune_from_cells` expression exactly."""
@@ -78,38 +82,60 @@ def semdedup_round(
         / 1000000.0
     )
 
-    def _a(df: DataFrame) -> DataFrame:
+    def _a(df: DataFrame, precedes: bool) -> DataFrame:
         return df.select(
             F.col("cell").alias("cell_a"),
             F.col("vec_id").alias("ida"),
             F.col("v").alias("va"),
             F.col("nrm").alias("na"),
+            F.lit(precedes).alias("pre_a"),
         )
 
+    a = _a(batch, False)
+    if store is not None:
+        a = _a(store, True).unionByName(a)
     y = batch.select(
         F.col("cell").alias("cell_b"),
         F.col("vec_id").alias("idb"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cand = _a(batch).join(
-        y, (F.col("cell_a") == F.col("cell_b")) & (F.col("ida") < F.col("idb"))
+    cand = a.join(
+        y,
+        (F.col("cell_a") == F.col("cell_b"))
+        & (F.col("pre_a") | (F.col("ida") < F.col("idb"))),
     )
-    if store is not None:
-        cand = cand.unionByName(
-            _a(store).join(y, F.col("cell_a") == F.col("cell_b"))
-        )
-    pairs = cand.select("cell_b", "ida", "idb", cos6.alias("cos6")).filter(
+    return cand.select("cell_b", "ida", "idb", cos6.alias("cos6")).filter(
         F.col("cos6") >= tau
     )
-    return (
-        pairs.groupBy(F.col("idb").alias("vec_id"))
-        .agg(
-            F.min("cell_b").cast("int").alias("cell"),
-            F.min("ida").cast("bigint").alias("keeper_id"),
-            F.max("cos6").alias("max_cos6"),
-        )
+
+
+def semdedup_verdicts(pairs: DataFrame) -> DataFrame:
+    """Per-arrival prune verdicts (vec_id, cell, keeper_id, max_cos6)
+    from a similar-pair relation. Because a vector's verdict is final
+    the round it arrives (its pairs are all in-batch or vs
+    strictly-earlier arrivals), this aggregation distributes over
+    key-disjoint unions of per-round pair scans: grouping the union of
+    K rounds' pairs equals unioning K per-round groupings — the fold
+    the batch twin (queries/similarity.py:semdedup_rounds) exploits to
+    run ONE verdict aggregation for all rounds (r13, guide §2.3)."""
+    return pairs.groupBy(F.col("idb").alias("vec_id")).agg(
+        F.min("cell_b").cast("int").alias("cell"),
+        F.min("ida").cast("bigint").alias("keeper_id"),
+        F.max("cos6").alias("max_cos6"),
     )
+
+
+def semdedup_round(
+    batch: DataFrame, store: DataFrame | None, tau: float = _TAU
+) -> DataFrame:
+    """Pure-plan core of one semantic-dedup round, shared by the
+    streaming foreachBatch body below and the registered batch twin
+    (queries/similarity.py:semdedup_rounds — the driver-oracled face of
+    this operator): the single-join pair scan + the verdict
+    aggregation. Per-round verdicts union to the global recompute —
+    the merge law the batch twin's oracle proves."""
+    return semdedup_verdicts(semdedup_pair_scan(batch, store, tau))
 
 
 def _dot(a, b):
