@@ -152,6 +152,13 @@ _PLAN_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # AQE's RUNTIME sort-merge->broadcast conversion has its own
+    # threshold that silently inherits whatever the non-adaptive value
+    # was AT PLAN TIME; pin it explicitly so a leaked threshold can't
+    # flip a borderline join's exchange count between sessions (r13,
+    # VERDICT r12 item 8 — the softdedup_weights budget was loosened
+    # 2->4 in r12 to cover exactly this nondeterminism class)
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": None,  # session-build value only
 }
