@@ -246,3 +246,94 @@ def test_sampled_semdedup_prunes_planted_exact_duplicates(spark, clustered):
     for i in range(20):
         assert 10000 + i in pruned, f"planted dup {10000 + i} not pruned"
         assert pruned[10000 + i]["max_cos6"] in (0.999999, 1.0)
+
+
+def test_semdedup_single_join_round_equals_two_join_form(spark):
+    """r13 internals pin: `semdedup_pair_scan` runs ONE precedence
+    cell-equijoin (a-side = store tagged precedes=true ∪ batch tagged
+    false, residual `pre_a OR ida < idb`); assert value-identity against
+    the r12 two-join form (in-batch join with the id< residual + store
+    join with none) on a synthetic batch/store that exercises the case
+    the flag exists for — a HIGHER-id store row must still pair with
+    every in-cell batch row (precedence is arrival order, not id order)
+    — plus a cross-cell decoy. And pin the folded-verdicts lemma the
+    batch twin relies on: grouping the union of the K rounds'
+    key-disjoint pair scans equals unioning the K per-round verdict
+    aggregations."""
+    from transit_feed_etl_spark.operators import vectors as V
+    from transit_feed_etl_spark.streaming.semdedup import (
+        semdedup_pair_scan,
+        semdedup_round,
+        semdedup_verdicts,
+    )
+
+    def frame(rows):
+        df = spark.createDataFrame(
+            rows, "vec_id long, cell long, v array<double>"
+        )
+        return df.withColumn("nrm", V.l2_norm(F.col("v")))
+
+    vec = lambda a, b: [float(a), float(b)] + [0.1] * 62  # noqa: E731
+    # store holds ids 5 and 90 (90 > every batch id: the flag case)
+    store = frame([(5, 1, vec(1, 0)), (90, 1, vec(1, 0.1))])
+    # batch: two in-cell rows (in-batch pair by id<) + a cell-2 decoy
+    batch = frame(
+        [(10, 1, vec(1, 0.05)), (20, 1, vec(0.9, 0)), (30, 2, vec(0, 1))]
+    )
+    tau = -1.0  # keep every in-cell pair; the join shape is under test
+
+    new = {tuple(r) for r in semdedup_pair_scan(batch, store, tau).collect()}
+
+    # the r12 two-join form, restated inline
+    cos6 = (
+        F.floor(
+            V.dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb"))
+            * 1000000
+        )
+        / 1000000.0
+    )
+    a = lambda df: df.select(  # noqa: E731
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    y = batch.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    old_cand = a(batch).join(
+        y, (F.col("cell_a") == F.col("cell_b")) & (F.col("ida") < F.col("idb"))
+    ).unionByName(a(store).join(y, F.col("cell_a") == F.col("cell_b")))
+    old = {
+        tuple(r)
+        for r in old_cand.select(
+            "cell_b", "ida", "idb", cos6.alias("cos6")
+        )
+        .filter(F.col("cos6") >= tau)
+        .collect()
+    }
+    assert new == old and new, (sorted(new), sorted(old))
+    # the higher-id store row (90) paired with BOTH cell-1 batch rows
+    assert {p[1] for p in new if p[1] == 90} == {90}
+    assert sum(1 for p in new if p[1] == 90) == 2
+
+    # folded-verdicts lemma: rounds are key-disjoint in idb, so ONE
+    # aggregation over the unioned pair scans == union of per-round
+    # aggregations (the batch twin's r13 shape vs the r12 shape)
+    p0 = semdedup_pair_scan(store, None, tau)
+    p1 = semdedup_pair_scan(batch, store, tau)
+    folded = {
+        tuple(r)
+        for r in semdedup_verdicts(p0.unionByName(p1)).collect()
+    }
+    per_round = {
+        tuple(r)
+        for r in semdedup_round(store, None, tau)
+        .unionByName(semdedup_round(batch, store, tau))
+        .collect()
+    }
+    assert folded == per_round and folded
